@@ -1,0 +1,38 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The test suite never requires TPU hardware (mirroring the reference's
+mockable-backend strategy, SURVEY.md section 4.5): all kernels run on the
+CPU backend, and sharding tests use 8 virtual CPU devices. The real-chip
+path is exercised by bench.py / __graft_entry__.py instead.
+"""
+
+import os
+
+# Must be set before the CPU backend is first initialized.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin (sitecustomize) force-selects the TPU platform; tests
+# override it back to CPU before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _seed_everything():
+    np.random.seed(0)
+    yield
+
+
+@pytest.fixture
+def rng():
+    from tfhe_tpu.rng import FheRng
+
+    return FheRng(42)

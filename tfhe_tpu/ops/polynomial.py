@@ -1,0 +1,350 @@
+"""Exact negacyclic polynomial multiplication mod 2^64 via CRT-NTT.
+
+This is the framework's hottest primitive: every external product, CMux,
+blind-rotation step, packing keyswitch and encrypted-clear dot product is
+built on negacyclic (X^N + 1) polynomial multiplication of torus polynomials
+(reference equivalents: tfhe-rs `polynomial_wrapping_mul` consumed at
+ml/extensions/rust/src/computations.rs:50-107, and the f64 FFT engine inside
+tfhe-rs `fft_impl`, imported at ml/extensions/rust/src/compression.rs:6).
+
+TPU-first design decisions (vs the reference's f64 FFT):
+
+  * TPUs have no fast f64, and f32 cannot carry 64-bit torus products
+    exactly, so we use *integer* NTTs over 31-bit NTT-friendly primes and
+    reconstruct the exact integer convolution by CRT. Exactness -- not
+    approximate-FFT-with-enough-mantissa -- is the correctness story.
+  * Every multiplication in TFHE is (small integer polynomial) x (u64 torus
+    polynomial): gadget-decomposed digits, binary secrets and clear weights
+    are all small. The u64 operand is split into 16-bit limbs; each
+    (small x limb) convolution fits well inside the CRT range of two 31-bit
+    primes, and limbs are recombined with wrapping shifts mod 2^64.
+  * Everything is batched: transforms map over arbitrary leading dims, so a
+    blind rotation over a batch of thousands of ciphertexts is one program.
+
+Max supported small-operand magnitude: N * |a| * 2^limb_bits must stay below
+p1*p2/2 (~2^61.6). For N=2048, limb_bits=16 this allows |a| < 2^34 -- ample
+for every gadget base (<= 2^24), binary secrets and 8-bit clear weights.
+
+The pure-jnp path below runs on CPU and TPU (u64 emulated as u32 pairs by
+XLA); the Pallas fast path (tfhe_tpu/ops/pallas_ntt.py) implements the same
+transform contract on u32 limbs natively.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+U64 = jnp.uint64
+
+# NTT-friendly primes: 2^14 | p-1, so negacyclic transforms up to N=8192.
+# p1 = 15 * 2^27 + 1, p2 = 13 * 2^28 + 1 (both prime, checked at table build).
+DEFAULT_PRIMES = (2013265921, 3489660929)
+DEFAULT_LIMB_BITS = 16
+
+
+def _is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for n < 2^64."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _primitive_root(p: int) -> int:
+    """Smallest primitive root of Z_p^* (p prime)."""
+    factors = []
+    phi = p - 1
+    m = phi
+    f = 2
+    while f * f <= m:
+        if m % f == 0:
+            factors.append(f)
+            while m % f == 0:
+                m //= f
+        f += 1
+    if m > 1:
+        factors.append(m)
+    for g in range(2, p):
+        if all(pow(g, phi // q, p) != 1 for q in factors):
+            return g
+    raise RuntimeError("no primitive root")
+
+
+def _bitrev_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_tables(p: int, n: int):
+    """Host-side exact twiddle tables (numpy u64) for prime p, size n.
+
+    Returns (psi_rev, psi_inv_rev, n_inv): psi is a primitive 2n-th root of
+    unity mod p; tables are psi^{bitrev(i)} / psi^{-bitrev(i)} following the
+    merged-twist Cooley-Tukey / Gentleman-Sande formulation, which folds the
+    negacyclic twist into the butterflies (no separate pre/post scaling).
+    """
+    assert _is_prime(p), f"{p} is not prime"
+    assert (p - 1) % (2 * n) == 0, f"2N={2*n} does not divide p-1 for p={p}"
+    g = _primitive_root(p)
+    psi = pow(g, (p - 1) // (2 * n), p)
+    assert pow(psi, n, p) == p - 1  # primitive 2n-th root: psi^n = -1
+    rev = _bitrev_indices(n)
+    psi_pows = np.empty(n, dtype=np.uint64)
+    psi_inv_pows = np.empty(n, dtype=np.uint64)
+    psi_inv = pow(psi, p - 2, p)
+    cur = 1
+    cur_inv = 1
+    tmp = np.empty(n, dtype=object)
+    tmp_inv = np.empty(n, dtype=object)
+    for i in range(n):
+        tmp[i] = cur
+        tmp_inv[i] = cur_inv
+        cur = cur * psi % p
+        cur_inv = cur_inv * psi_inv % p
+    psi_pows[:] = tmp[rev].astype(np.uint64)
+    psi_inv_pows[:] = tmp_inv[rev].astype(np.uint64)
+    n_inv = pow(n, p - 2, p)
+    return psi_pows, psi_inv_pows, np.uint64(n_inv)
+
+
+def _addmod(a, b, p):
+    s = a + b
+    return s - jnp.where(s >= p, p, U64(0))
+
+
+def _submod(a, b, p):
+    s = a + (p - b)
+    return s - jnp.where(s >= p, p, U64(0))
+
+
+def _mulmod(a, b, p):
+    # operands < p < 2^32: the u64 product is exact, one remainder reduces.
+    return (a * b) % p
+
+
+def fntt(a, psi_rev, p):
+    """Forward negacyclic NTT (Cooley-Tukey, natural -> bit-reversed order).
+
+    a: (..., N) u64 residues < p. Returns same shape. The output ordering is
+    bit-reversed, which is irrelevant for pointwise multiplication as long
+    as the inverse transform consumes the same ordering.
+    """
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    t = n
+    m = 1
+    while m < n:
+        t //= 2
+        a = a.reshape(*lead, m, 2, t)
+        s = psi_rev[m : 2 * m].reshape(m, 1)
+        u = a[..., 0, :]
+        v = _mulmod(a[..., 1, :], s, p)
+        a = jnp.stack([_addmod(u, v, p), _submod(u, v, p)], axis=-2)
+        a = a.reshape(*lead, n)
+        m *= 2
+    return a
+
+
+def intt(a, psi_inv_rev, n_inv, p):
+    """Inverse negacyclic NTT (Gentleman-Sande, bit-reversed -> natural)."""
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    t = 1
+    m = n
+    while m > 1:
+        h = m // 2
+        a = a.reshape(*lead, h, 2, t)
+        s = psi_inv_rev[h : 2 * h].reshape(h, 1)
+        u = a[..., 0, :]
+        v = a[..., 1, :]
+        a = jnp.stack(
+            [_addmod(u, v, p), _mulmod(_submod(u, v, p), s, p)], axis=-2
+        )
+        a = a.reshape(*lead, n)
+        t *= 2
+        m = h
+    return _mulmod(a, n_inv, p)
+
+
+class NegacyclicEngine:
+    """Exact negacyclic polymul mod 2^64: (small int poly) x (u64 torus poly).
+
+    Usage pattern (mirrors how keys are used): the u64 operand (bootstrap /
+    keyswitch key polynomials) is transformed once with `forward_u64` and
+    kept resident in NTT/limb form; per-op small operands (decomposition
+    digits, secrets, clear weights) go through `forward_small`; products are
+    accumulated in the transform domain and materialized with `backward`.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        primes: Sequence[int] = DEFAULT_PRIMES,
+        limb_bits: int = DEFAULT_LIMB_BITS,
+    ):
+        assert n & (n - 1) == 0, "N must be a power of two"
+        self.n = n
+        self.primes = tuple(primes)
+        self.limb_bits = limb_bits
+        self.n_limbs = 64 // limb_bits
+        assert 64 % limb_bits == 0
+        self._psi = []
+        self._psi_inv = []
+        self._n_inv = []
+        for p in self.primes:
+            pr, pir, ni = _ntt_tables(p, n)
+            self._psi.append(jnp.asarray(pr))
+            self._psi_inv.append(jnp.asarray(pir))
+            self._n_inv.append(U64(ni))
+        self._p_arr = [U64(p) for p in self.primes]
+        # CRT constants for the 2-prime reconstruction
+        assert len(self.primes) == 2, "engine currently uses a 2-prime CRT"
+        p1, p2 = self.primes
+        self._inv_p1_mod_p2 = U64(pow(p1, p2 - 2, p2))
+        self._p1p2 = U64((p1 * p2) % 2**64)
+        self._p1p2_half = U64((p1 * p2) // 2)
+        # headroom check: max |conv coeff| must fit the signed CRT range
+        self.max_small_bits = int(
+            np.floor(np.log2(p1 * p2 / 2) - np.log2(n) - limb_bits)
+        )
+
+    # -- forward transforms -------------------------------------------------
+
+    def forward_small(self, a: jax.Array) -> jax.Array:
+        """Transform a small signed polynomial.
+
+        a: (..., N) int64 (or u64 two's complement of small values).
+        Returns (..., n_primes, N) u64 residues in NTT domain.
+        """
+        if a.dtype == jnp.uint64:
+            a = a.astype(jnp.int64)
+        out = []
+        for p, psi in zip(self._p_arr, self._psi):
+            r = jnp.mod(a, p.astype(jnp.int64)).astype(U64)
+            out.append(fntt(r, psi, p))
+        return jnp.stack(out, axis=-2)
+
+    def forward_u64(self, b: jax.Array) -> jax.Array:
+        """Transform a u64 torus polynomial via limb decomposition.
+
+        b: (..., N) u64. Returns (..., n_primes, n_limbs, N) u64 NTT-domain
+        residues of each 16-bit limb.
+        """
+        limbs = []
+        mask = U64(2**self.limb_bits - 1)
+        for l in range(self.n_limbs):
+            limbs.append((b >> U64(l * self.limb_bits)) & mask)
+        lb = jnp.stack(limbs, axis=-2)  # (..., n_limbs, N)
+        out = []
+        for p, psi in zip(self._p_arr, self._psi):
+            out.append(fntt(lb % p, psi, p))
+        return jnp.stack(out, axis=-3)
+
+    # -- transform-domain algebra -------------------------------------------
+
+    def pointwise_mul(self, fa_small: jax.Array, fb_u64: jax.Array) -> jax.Array:
+        """fa_small: (..., n_primes, N), fb_u64: (..., n_primes, n_limbs, N)
+        -> (..., n_primes, n_limbs, N) product residues."""
+        out = []
+        for i, p in enumerate(self._p_arr):
+            out.append(
+                _mulmod(fa_small[..., i, None, :], fb_u64[..., i, :, :], p)
+            )
+        return jnp.stack(out, axis=-3)
+
+    def add_domain(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Add two transform-domain tensors (residues mod each prime)."""
+        out = []
+        for i, p in enumerate(self._p_arr):
+            out.append(_addmod(x[..., i, :, :], y[..., i, :, :], p))
+        return jnp.stack(out, axis=-3)
+
+    # -- inverse + reconstruction --------------------------------------------
+
+    def backward(self, f: jax.Array) -> jax.Array:
+        """Inverse-transform (..., n_primes, n_limbs, N) residues and
+        reconstruct the u64 result mod 2^64.
+
+        CRT (Garner) per limb gives the exact signed convolution coefficient
+        (|x| < p1*p2/2); limbs recombine with wrapping shifts.
+        """
+        r = []
+        for i, (p, psi_inv, n_inv) in enumerate(
+            zip(self._p_arr, self._psi_inv, self._n_inv)
+        ):
+            r.append(intt(f[..., i, :, :], psi_inv, n_inv, p))
+        r1, r2 = r[0], r[1]
+        p1, p2 = self._p_arr
+        t = _mulmod(_submod(r2, r1 % p2, p2), self._inv_p1_mod_p2, p2)
+        x = r1 + p1 * t  # exact value in [0, p1*p2), fits u64
+        # center to signed, then wrap mod 2^64 (u64 arithmetic wraps for us)
+        x = x - jnp.where(x > self._p1p2_half, self._p1p2, U64(0))
+        # recombine limbs: (..., n_limbs, N) -> (..., N)
+        acc = jnp.zeros(x.shape[:-2] + x.shape[-1:], dtype=U64)
+        for l in range(self.n_limbs):
+            acc = acc + (x[..., l, :] << U64(l * self.limb_bits))
+        return acc
+
+    # -- convenience ----------------------------------------------------------
+
+    def polymul(self, a_small: jax.Array, b_u64: jax.Array) -> jax.Array:
+        """Negacyclic product mod 2^64 of a small polynomial and a u64
+        polynomial; shapes broadcast over leading dims."""
+        fa = self.forward_small(a_small)
+        fb = self.forward_u64(b_u64)
+        return self.backward(self.pointwise_mul(fa, fb))
+
+
+@functools.lru_cache(maxsize=None)
+def get_engine(
+    n: int,
+    primes: Sequence[int] = DEFAULT_PRIMES,
+    limb_bits: int = DEFAULT_LIMB_BITS,
+) -> NegacyclicEngine:
+    return NegacyclicEngine(n, primes, limb_bits)
+
+
+def negacyclic_polymul_reference(a, b, q: int = 2**64) -> np.ndarray:
+    """Slow exact ground truth with Python integers (tests only).
+
+    a, b: 1-D integer sequences (any int type / Python ints).
+    Returns numpy object array of the negacyclic product mod q.
+    """
+    n = len(a)
+    a = [int(x) for x in a]
+    b = [int(x) for x in b]
+    out = [0] * n
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            if k < n:
+                out[k] = (out[k] + a[i] * b[j]) % q
+            else:
+                out[k - n] = (out[k - n] - a[i] * b[j]) % q
+    return np.array(out, dtype=object)
