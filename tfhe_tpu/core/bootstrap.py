@@ -1,0 +1,111 @@
+"""Programmable bootstrapping: blind rotation over the CMux tree.
+
+The PBS is the framework's unit of work (BASELINE.json north star:
+bootstraps/sec per chip). Structure:
+
+  1. modulus-switch the input LWE ciphertext into the Z_2N exponent domain,
+  2. blind rotation: acc = X^{-b~} * LUT; then for each secret bit j,
+     acc <- CMux(BSK_j, acc, X^{a~_j} * acc)  -- a `lax.scan` over the n
+     bootstrap-key GGSWs, batched over arbitrarily many ciphertexts,
+  3. sample-extract coefficient 0 into an LWE ciphertext under the big key.
+
+The bootstrap key lives in NTT/limb form in HBM: shape
+(n, (k+1)*level, k+1, n_primes, n_limbs, N). Batch parallelism (many
+ciphertexts per scan step) is the TPU throughput story; the scan itself is
+inherently sequential in n, exactly like the reference's per-bit blind
+rotation inside tfhe-rs (SURVEY.md section 2 "native components" item 6).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tfhe_tpu.core.ggsw import encrypt_ggsw_bits, external_product
+from tfhe_tpu.core.keys import GlweSecretKey, LweSecretKey
+from tfhe_tpu.core.lwe import sample_extract
+from tfhe_tpu.ops.polynomial import NegacyclicEngine
+from tfhe_tpu.params import GadgetParams, NoiseDistribution
+from tfhe_tpu.rng import FheRng
+from tfhe_tpu.torus import mod_switch, negacyclic_monomial_rotate
+
+U64 = jnp.uint64
+
+
+class BootstrapKey(NamedTuple):
+    """NTT-domain bootstrap key: (n, D, k+1, n_primes, n_limbs, N)."""
+
+    bsk_ntt: jax.Array
+    gadget: GadgetParams
+
+    @property
+    def lwe_dim(self) -> int:
+        return self.bsk_ntt.shape[0]
+
+    @property
+    def poly_size(self) -> int:
+        return self.bsk_ntt.shape[-1]
+
+
+def gen_bootstrap_key(
+    lwe_sk: LweSecretKey,
+    glwe_sk: GlweSecretKey,
+    gadget: GadgetParams,
+    rng: FheRng,
+    noise: NoiseDistribution,
+    engine: NegacyclicEngine,
+) -> BootstrapKey:
+    """GGSW-encrypt each bit of the small LWE secret under the GLWE key."""
+    ggsw = encrypt_ggsw_bits(glwe_sk, lwe_sk.key, gadget, rng, noise, engine)
+    return BootstrapKey(bsk_ntt=engine.forward_u64(ggsw), gadget=gadget)
+
+
+def blind_rotate(
+    lut: jax.Array,
+    lwe_ct: jax.Array,
+    bsk: BootstrapKey,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """Rotate the LUT accumulator by the (mod-switched) phase of lwe_ct.
+
+    lut: (k+1, N) or (..., k+1, N) GLWE accumulator (usually trivial);
+    lwe_ct: (..., n+1). Returns (..., k+1, N) GLWE whose coefficient 0
+    holds LUT[decode(phase)].
+    """
+    n_poly = bsk.poly_size
+    two_n = 2 * n_poly
+    log_2n = int(math.log2(two_n))
+    ms = mod_switch(lwe_ct, log_2n)  # (..., n+1) values in [0, 2N)
+    a_t = ms[..., :-1]
+    b_t = ms[..., -1]
+    # acc = X^{-b} * LUT  (exponent 2N - b ≡ -b mod 2N)
+    acc = negacyclic_monomial_rotate(lut, (U64(two_n) - b_t)[..., None])
+    acc = jnp.broadcast_to(acc, b_t.shape + (lut.shape[-2], n_poly))
+
+    a_steps = jnp.moveaxis(a_t, -1, 0)  # (n, ...)
+
+    def step(carry, xs):
+        bsk_j, a_j = xs  # (D, k+1, P, L, N), (...,)
+        rot = negacyclic_monomial_rotate(carry, a_j[..., None])
+        carry = carry + external_product(
+            bsk_j, rot - carry, bsk.gadget, engine
+        )
+        return carry, None
+
+    acc, _ = jax.lax.scan(step, acc, (bsk.bsk_ntt, a_steps))
+    return acc
+
+
+def programmable_bootstrap(
+    lwe_ct: jax.Array,
+    lut: jax.Array,
+    bsk: BootstrapKey,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """Full PBS: blind rotate + sample extract. (..., n+1) -> (..., kN+1)
+    under the big (extracted) key, refreshed noise, LUT applied."""
+    acc = blind_rotate(lut, lwe_ct, bsk, engine)
+    return sample_extract(acc, 0)

@@ -1,0 +1,113 @@
+"""GGSW ciphertexts, external product and CMux.
+
+A GGSW ciphertext encrypting a small integer m is (k+1)*level GLWE rows:
+row (j, l) is a zero-encryption plus m * q/B^(l+1) on the constant
+coefficient of component j (the gadget matrix). The external product
+GGSW(m) x GLWE(pt) -> GLWE(m * pt) is the engine of CMux and blind rotation.
+
+The reference consumes these primitives from inside tfhe-rs (GGSW/CMux power
+the PBS behind every fhevm integer op; SURVEY.md section 2 "native
+components" item 6). Here they are batched jnp programs over the exact NTT
+engine, with GGSW keys held in NTT/limb form so the per-op work is
+decompose -> forward NTT -> pointwise MAC -> inverse NTT.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfhe_tpu.core.glwe import encrypt_glwe
+from tfhe_tpu.core.keys import GlweSecretKey
+from tfhe_tpu.ops.polynomial import NegacyclicEngine
+from tfhe_tpu.params import GadgetParams, NoiseDistribution
+from tfhe_tpu.rng import FheRng
+from tfhe_tpu.torus import signed_decompose
+
+U64 = jnp.uint64
+
+
+def encrypt_ggsw_bits(
+    sk: GlweSecretKey,
+    m: jax.Array,
+    gadget: GadgetParams,
+    rng: FheRng,
+    noise: NoiseDistribution,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """Encrypt small integers m: (...,) -> GGSW (..., (k+1)*level, k+1, N).
+
+    Named `_bits` because the dominant use is bootstrap keys (m = secret key
+    bits), but any small integer works.
+    """
+    m = jnp.asarray(m, dtype=U64)
+    k1 = sk.k + 1
+    n = sk.n_poly
+    level = gadget.level
+    d_rows = k1 * level
+    zeros = jnp.zeros(m.shape + (d_rows, n), dtype=U64)
+    rows = encrypt_glwe(sk, zeros, rng, noise, engine)  # (..., D, k+1, N)
+    # gadget: row (j*level + l) adds m * 2^(64-(l+1)*B) to component j coeff 0
+    shifts = jnp.array(
+        [64 - (l + 1) * gadget.base_log for l in range(level)], dtype=U64
+    )
+    gvals = m[..., None] << shifts  # (..., level)
+    j_idx = jnp.arange(d_rows) // level  # component index per row
+    l_idx = jnp.arange(d_rows) % level
+    onehot = (
+        j_idx[:, None] == jnp.arange(k1)[None, :]
+    ).astype(U64)  # (D, k+1)
+    add = (
+        gvals[..., l_idx][..., None] * onehot
+    )  # (..., D, k+1)
+    return rows.at[..., 0].add(add)
+
+
+def ggsw_to_ntt(ggsw: jax.Array, engine: NegacyclicEngine) -> jax.Array:
+    """(..., D, k+1, N) -> (..., D, k+1, n_primes, n_limbs, N)."""
+    return engine.forward_u64(ggsw)
+
+
+def external_product(
+    ggsw_ntt: jax.Array,
+    glwe: jax.Array,
+    gadget: GadgetParams,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """GGSW(m) x GLWE(pt) -> GLWE(m*pt).
+
+    ggsw_ntt: (..., D, k+1, P, L, N) (from ggsw_to_ntt), glwe: (..., k+1, N).
+    Decomposition digits are forward-transformed once and contracted against
+    all (k+1) output components in the NTT domain -- one inverse transform
+    per output component/limb/prime, not per row.
+    """
+    k1 = glwe.shape[-2]
+    n = glwe.shape[-1]
+    d_rows = k1 * gadget.level
+    digits = signed_decompose(glwe, gadget)  # (..., k+1, N, level)
+    digits = jnp.moveaxis(digits, -1, -2)  # (..., k+1, level, N)
+    digits = digits.reshape(*glwe.shape[:-2], d_rows, n)
+    fd = engine.forward_small(digits)  # (..., D, P, N)
+    out = []
+    for i, p in enumerate(engine._p_arr):
+        a = fd[..., :, i, :]  # (..., D, N)
+        b = ggsw_ntt[..., :, :, i, :, :]  # (..., D, k+1, L, N)
+        prod = (a[..., :, None, None, :] * b) % p
+        # sum over D rows: each term < p < 2^32, D small -> no u64 overflow
+        out.append(jnp.sum(prod, axis=-4) % p)  # (..., k+1, L, N)
+    f = jnp.stack(out, axis=-3)  # (..., k+1, P, L, N)
+    return engine.backward(f)
+
+
+def cmux(
+    ggsw_ntt: jax.Array,
+    ct_false: jax.Array,
+    ct_true: jax.Array,
+    gadget: GadgetParams,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """Select ct_true where GGSW encrypts 1, ct_false where 0:
+    ct_false + GGSW ⊡ (ct_true - ct_false)."""
+    return ct_false + external_product(
+        ggsw_ntt, ct_true - ct_false, gadget, engine
+    )
