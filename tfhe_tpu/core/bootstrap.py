@@ -19,7 +19,6 @@ rotation inside tfhe-rs (SURVEY.md section 2 "native components" item 6).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +30,13 @@ from tfhe_tpu.ops.polynomial import NegacyclicEngine
 from tfhe_tpu.params import GadgetParams, NoiseDistribution
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.torus import mod_switch, negacyclic_monomial_rotate
+from tfhe_tpu.utils.pytree import pytree_dataclass
 
 U64 = jnp.uint64
 
 
-class BootstrapKey(NamedTuple):
+@pytree_dataclass(meta=("gadget",))
+class BootstrapKey:
     """NTT-domain bootstrap key: (n, D, k+1, n_primes, n_limbs, N)."""
 
     bsk_ntt: jax.Array

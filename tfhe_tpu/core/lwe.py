@@ -8,8 +8,6 @@ keyswitch keys of ml/extensions/rust/src/compression.rs:151-189.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +15,7 @@ from tfhe_tpu.core.keys import LweSecretKey
 from tfhe_tpu.params import GadgetParams, NoiseDistribution
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.torus import signed_decompose
+from tfhe_tpu.utils.pytree import pytree_dataclass
 
 U64 = jnp.uint64
 
@@ -91,7 +90,8 @@ def sample_extract(glwe_ct: jax.Array, index: int = 0) -> jax.Array:
     return jnp.concatenate([flat, body[..., None]], axis=-1)
 
 
-class KeyswitchKey(NamedTuple):
+@pytree_dataclass(meta=("gadget",))
+class KeyswitchKey:
     """LWE -> LWE keyswitch key.
 
     ksk: (n_in, level, n_out+1) u64 -- ksk[i, l] encrypts
