@@ -21,6 +21,11 @@ import jax
 # override it back to CPU before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: PBS programs recompile identically across
+# test runs; caching them cuts suite time substantially.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

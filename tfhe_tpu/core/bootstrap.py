@@ -18,6 +18,7 @@ rotation inside tfhe-rs (SURVEY.md section 2 "native components" item 6).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -100,6 +101,7 @@ def blind_rotate(
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("engine",))
 def programmable_bootstrap(
     lwe_ct: jax.Array,
     lut: jax.Array,
@@ -107,6 +109,10 @@ def programmable_bootstrap(
     engine: NegacyclicEngine,
 ) -> jax.Array:
     """Full PBS: blind rotate + sample extract. (..., n+1) -> (..., kN+1)
-    under the big (extracted) key, refreshed noise, LUT applied."""
+    under the big (extracted) key, refreshed noise, LUT applied.
+
+    jit-compiled once per (shape, params) combination: the batched PBS is
+    the framework's unit program, reused across every shortint/radix op.
+    """
     acc = blind_rotate(lut, lwe_ct, bsk, engine)
     return sample_extract(acc, 0)

@@ -8,6 +8,8 @@ keyswitch keys of ml/extensions/rust/src/compression.rs:151-189.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -125,6 +127,7 @@ def gen_keyswitch_key(
     return KeyswitchKey(ksk=ksk, gadget=gadget)
 
 
+@jax.jit
 def keyswitch(ct: jax.Array, ksk: KeyswitchKey) -> jax.Array:
     """Switch (..., n_in+1) to (..., n_out+1) under the output key.
 

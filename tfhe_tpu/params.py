@@ -273,7 +273,7 @@ TOY_SHORTINT = ShortintParams(
     name="TOY_SHORTINT",
     lwe_dimension=16,
     glwe_dimension=1,
-    polynomial_size=256,
+    polynomial_size=128,
     lwe_noise=NoiseDistribution.tuniform(10),
     glwe_noise=NoiseDistribution.tuniform(6),
     pbs=GadgetParams(base_log=12, level=2),
