@@ -84,19 +84,53 @@ def external_product(
     k1 = glwe.shape[-2]
     n = glwe.shape[-1]
     d_rows = k1 * gadget.level
+    fd = decompose_forward(glwe, gadget, engine)  # (..., D, P, N)
+    res = contract_residues(ggsw_ntt, fd, engine)
+    return finalize_residues(res, engine)
+
+
+def decompose_forward(
+    glwe: jax.Array, gadget: GadgetParams, engine: NegacyclicEngine
+) -> jax.Array:
+    """Gadget-decompose a GLWE ct and forward-transform the digit rows:
+    (..., k+1, N) -> (..., D, P, N) with D = (k+1)*level."""
+    k1 = glwe.shape[-2]
+    n = glwe.shape[-1]
+    d_rows = k1 * gadget.level
     digits = signed_decompose(glwe, gadget)  # (..., k+1, N, level)
     digits = jnp.moveaxis(digits, -1, -2)  # (..., k+1, level, N)
     digits = digits.reshape(*glwe.shape[:-2], d_rows, n)
-    fd = engine.forward_small(digits)  # (..., D, P, N)
+    return engine.forward_small(digits)
+
+
+def contract_residues(
+    ggsw_ntt: jax.Array, fd: jax.Array, engine: NegacyclicEngine
+) -> jax.Array:
+    """Transform-domain MAC over the D rows WITHOUT the final mod-p
+    reduction: returns (..., k+1, P, L, N) residue sums (< D * p each).
+
+    Leaving the reduction to `finalize_residues` lets partial sums from
+    D-sharded keys be `psum`-ed across devices first (the GGSW-row / TP
+    sharding of the distributed PBS)."""
+    if ggsw_ntt.dtype != U64:
+        ggsw_ntt = ggsw_ntt.astype(U64)  # keys may be stored u32 (HBM saving)
     out = []
     for i, p in enumerate(engine._p_arr):
         a = fd[..., :, i, :]  # (..., D, N)
         b = ggsw_ntt[..., :, :, i, :, :]  # (..., D, k+1, L, N)
         prod = (a[..., :, None, None, :] * b) % p
         # sum over D rows: each term < p < 2^32, D small -> no u64 overflow
-        out.append(jnp.sum(prod, axis=-4) % p)  # (..., k+1, L, N)
-    f = jnp.stack(out, axis=-3)  # (..., k+1, P, L, N)
-    return engine.backward(f)
+        out.append(jnp.sum(prod, axis=-4))  # (..., k+1, L, N)
+    return jnp.stack(out, axis=-3)  # (..., k+1, P, L, N)
+
+
+def finalize_residues(res: jax.Array, engine: NegacyclicEngine) -> jax.Array:
+    """Reduce residue sums mod each prime and inverse-transform:
+    (..., k+1, P, L, N) -> (..., k+1, N) u64."""
+    reduced = []
+    for i, p in enumerate(engine._p_arr):
+        reduced.append(res[..., i, :, :] % p)
+    return engine.backward(jnp.stack(reduced, axis=-3))
 
 
 def cmux(

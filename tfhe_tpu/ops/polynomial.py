@@ -233,6 +233,11 @@ class NegacyclicEngine:
         self.max_small_bits = int(
             np.floor(np.log2(p1 * p2 / 2) - np.log2(n) - limb_bits)
         )
+        # jit the transforms: they are called eagerly from keygen /
+        # encryption paths and re-trace identically otherwise.
+        self.forward_small = jax.jit(self.forward_small)
+        self.forward_u64 = jax.jit(self.forward_u64)
+        self.backward = jax.jit(self.backward)
 
     # -- forward transforms -------------------------------------------------
 
