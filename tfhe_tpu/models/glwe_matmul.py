@@ -1,0 +1,208 @@
+"""GLWE encrypted-vector x clear-matrix multiplication engine.
+
+TPU-native re-architecture of the reference's `concrete_ml_extensions`
+matmul stack (reference: ml/extensions/rust/src/ml.rs EncryptedVector/dot,
+encryption.rs delta encoding, fhext_classes.rs key/params classes,
+lib_python.rs:176-431 the pyo3 API surface) -- the backend that
+concrete-ml's GLWELinearLayerExecutor routes linear layers to (reference:
+ml/concrete-ml/src/concrete/ml/quantization/linear_op_glwe_backend.py).
+
+Scheme:
+  * an input row v (length C) packs into ceil(C/N) GLWE polynomials,
+    encoded at delta = 2^(64 - bits_reserved_for_computation);
+  * dot(v, w) = negacyclic polymul against reverse(w) per chunk; the clean
+    (wrap-free) coefficient N-1 accumulates the chunk dot product
+    (reference computations.rs:60-107 lands the dot in the last coeff);
+  * sample-extract coefficient N-1, sum chunk LWEs -> LWE(dot);
+  * one-to-many: the ciphertext is forward-transformed ONCE and multiplied
+    against all output columns in the NTT domain (the CUDA one-to-many
+    path, ml.rs:66-91, as a batched tensor contraction);
+  * results pack back into GLWEs via the packing keyswitch under a separate
+    post-compression key, then modulus-switch to a narrow storage modulus
+    (compression.rs:36-129 semantics).
+
+Everything is batched over input rows and output columns in one program.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tfhe_tpu.core.glwe import decrypt_glwe, encrypt_glwe
+from tfhe_tpu.core.keys import (
+    GlweSecretKey,
+    gen_glwe_secret_key,
+    glwe_to_lwe_secret_key,
+)
+from tfhe_tpu.core.lwe import sample_extract
+from tfhe_tpu.core.packing import (
+    PackingKeyswitchKey,
+    gen_packing_keyswitch_key,
+    packing_keyswitch,
+)
+from tfhe_tpu.ops.polynomial import NegacyclicEngine, get_engine
+from tfhe_tpu.params import MatmulParams
+from tfhe_tpu.rng import FheRng
+from tfhe_tpu.torus import mod_switch
+from tfhe_tpu.utils.pytree import pytree_dataclass
+
+U64 = jnp.uint64
+
+
+@pytree_dataclass(meta=("params",))
+class MatmulPrivateKey:
+    """Input GLWE key + post-compression GLWE key + packing keyswitch key
+    (reference fhext_classes.rs PrivateKey / CompressionKey)."""
+
+    glwe_key: GlweSecretKey
+    post_key: GlweSecretKey
+    pksk: PackingKeyswitchKey
+    params: MatmulParams
+
+
+@pytree_dataclass(meta=("params", "n_valid", "shape"))
+class EncryptedMatrix:
+    """glwes: (R, n_chunks, k+1, N) -- row r packed into chunk polynomials."""
+
+    glwes: jax.Array
+    params: MatmulParams
+    n_valid: int  # C, the true inner dimension
+    shape: tuple
+
+
+@pytree_dataclass(meta=("params", "shape", "n_bits_out"))
+class CompressedResultMatrix:
+    """Packed + modulus-switched result: (R, n_out_chunks, k+1, N) stored
+    at ct_modulus_out_bits (u32)."""
+
+    data: jax.Array
+    params: MatmulParams
+    shape: tuple  # (R, O)
+    n_bits_out: int
+
+
+def default_params() -> MatmulParams:
+    from tfhe_tpu import params as tp
+
+    return tp.PARAMS_8B_2048
+
+
+def create_private_key(params: MatmulParams, seed: int = 0) -> MatmulPrivateKey:
+    rng = FheRng(seed)
+    engine = get_engine(params.polynomial_size)
+    glwe_key = gen_glwe_secret_key(rng, params.glwe_dimension, params.polynomial_size)
+    post_key = gen_glwe_secret_key(rng, params.glwe_dimension, params.polynomial_size)
+    big_lwe = glwe_to_lwe_secret_key(glwe_key)
+    pksk = gen_packing_keyswitch_key(
+        big_lwe, post_key, params.packing_ks, rng, params.packing_ks_noise, engine
+    )
+    return MatmulPrivateKey(
+        glwe_key=glwe_key, post_key=post_key, pksk=pksk, params=params
+    )
+
+
+def _delta(params: MatmulParams) -> int:
+    return 1 << (64 - params.bits_reserved_for_computation)
+
+
+def encrypt_matrix(
+    pkey: MatmulPrivateKey, matrix, rng: FheRng | None = None, seed: int = 1
+) -> EncryptedMatrix:
+    """matrix: (R, C) unsigned ints < 2^input_bits -> encrypted rows."""
+    p = pkey.params
+    n = p.polynomial_size
+    if rng is None:
+        rng = FheRng(seed)
+    engine = get_engine(n)
+    m = jnp.asarray(matrix, dtype=U64)
+    r, c = m.shape
+    n_chunks = -(-c // n)
+    padded = jnp.zeros((r, n_chunks * n), dtype=U64).at[:, :c].set(m)
+    pts = padded.reshape(r, n_chunks, n) * U64(_delta(p))
+    glwes = encrypt_glwe(pkey.glwe_key, pts, rng, p.glwe_noise, engine)
+    return EncryptedMatrix(glwes=glwes, params=p, n_valid=c, shape=(r, c))
+
+
+def matrix_multiplication(
+    enc: EncryptedMatrix, clear, pkey: MatmulPrivateKey
+) -> CompressedResultMatrix:
+    """enc (R, C) x clear (C, O) -> compressed encrypted result (R, O).
+
+    clear entries are small signed ints (quantized weights).
+    """
+    p = enc.params
+    n = p.polynomial_size
+    engine = get_engine(n)
+    w = jnp.asarray(clear)
+    c, o = w.shape
+    assert c == enc.n_valid
+    r = enc.shape[0]
+    n_chunks = enc.glwes.shape[1]
+
+    # clear operand: chunk, reverse within chunk so the dot lands on coeff
+    # N-1 of each chunk product (wrap-free by construction)
+    pad = jnp.zeros((n_chunks * n, o), dtype=w.dtype).at[:c, :].set(w)
+    w_chunks = pad.reshape(n_chunks, n, o)
+    w_rev = w_chunks[:, ::-1, :]  # reverse within chunk
+    w_polys = jnp.moveaxis(w_rev, -1, 0)  # (O, n_chunks, N)
+
+    # one-to-many: transform ciphertext once, weights once
+    f_ct = engine.forward_u64(enc.glwes)  # (R, chunks, k+1, P, L, N)
+    f_w = engine.forward_small(w_polys.astype(jnp.int64))  # (O, chunks, P, N)
+
+    # product GLWE for (r, o): sum over chunks of ct_chunk * w_chunk
+    out = []
+    for i, pr in enumerate(engine._p_arr):
+        a = f_ct[..., i, :, :]  # (R, chunks, k+1, L, N)
+        b = f_w[..., i, :]  # (O, chunks, N)
+        prod = (
+            a[:, None, :, :, :, :] * b[None, :, :, None, None, :]
+        ) % pr  # (R, O, chunks, k+1, L, N)
+        out.append(jnp.sum(prod, axis=2) % pr)  # (R, O, k+1, L, N)
+    f = jnp.stack(out, axis=-3)  # (R, O, k+1, P, L, N)
+    prod_glwes = engine.backward(f)  # (R, O, k+1, N)
+
+    # extract the dot product at coefficient N-1 (reference
+    # computations.rs:109-132 extracts the last coefficient)
+    lwes = sample_extract(prod_glwes, n - 1)  # (R, O, kN+1)
+
+    # pack rows of O LWEs into ceil(O/N) GLWEs under the post key
+    n_out_chunks = -(-o // n)
+    padded_o = n_out_chunks * n
+    if padded_o != o:
+        padf = jnp.zeros((r, padded_o - o, lwes.shape[-1]), dtype=U64)
+        lwes = jnp.concatenate([lwes, padf], axis=1)
+    lwes = lwes.reshape(r, n_out_chunks, n, -1)
+    packed = packing_keyswitch(lwes, pkey.pksk, engine)  # (R, chunks, k+1, N)
+
+    # modulus switch to the storage modulus
+    stored = mod_switch(packed, p.ct_modulus_out_bits).astype(jnp.uint32)
+    return CompressedResultMatrix(
+        data=stored, params=p, shape=(r, o), n_bits_out=p.ct_modulus_out_bits
+    )
+
+
+def decrypt_matrix(
+    result: CompressedResultMatrix, pkey: MatmulPrivateKey
+) -> jax.Array:
+    """Decrypt to signed int64 (results can be negative with signed
+    weights; reference decrypt applies the signed wrap,
+    encryption.rs:185-203)."""
+    p = result.params
+    n = p.polynomial_size
+    engine = get_engine(n)
+    r, o = result.shape
+    # expand storage modulus back to q = 2^64
+    ct = result.data.astype(U64) << U64(64 - result.n_bits_out)
+    phase = decrypt_glwe(pkey.post_key, ct, engine)  # (R, chunks, N)
+    phase = phase.reshape(r, -1)[:, :o]
+    delta = _delta(p)
+    vals = (phase + U64(delta // 2)) // U64(delta)
+    space = 1 << p.bits_reserved_for_computation
+    vals = vals % U64(space)
+    sv = vals.astype(jnp.int64)
+    return sv - jnp.where(sv >= space // 2, jnp.int64(space), jnp.int64(0))
