@@ -47,11 +47,13 @@ def main():
     lut = si.generate_lut(P, np.arange(16, dtype=np.uint64))
 
     @jax.jit
-    def step(cts):
-        return programmable_bootstrap(keyswitch(cts, sk.ksk), lut, sk.bsk, engine)
+    def step(cts, lut, bsk, ksk):
+        # keys enter as arguments (device-resident), never as baked-in
+        # constants -- constants would ride every compile payload
+        return programmable_bootstrap(keyswitch(cts, ksk), lut, bsk, engine)
 
     t1 = time.time()
-    out = step(ct)
+    out = step(ct, lut, sk.bsk, sk.ksk)
     out.block_until_ready()
     compile_s = time.time() - t1
 
@@ -61,7 +63,7 @@ def main():
 
     t2 = time.time()
     for _ in range(iters):
-        out = step(ct)
+        out = step(ct, lut, sk.bsk, sk.ksk)
     out.block_until_ready()
     dt = time.time() - t2
 

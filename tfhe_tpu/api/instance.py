@@ -1,0 +1,275 @@
+"""FhevmInstance: the client/coprocessor API surface.
+
+In-process analog of the reference SDK's `createInstance` object (reference:
+sdk/relayer/src/index.ts:78-117,161-318 -- createEncryptedInput, encrypt,
+publicDecrypt, userDecrypt, generateKeypair, getPublicKey) fused with the
+coprocessor executor whose op semantics the fhevm test suites pin
+(reference: tests/fhevm-suite/e2e/contracts/operations/*.sol FHE.* ops,
+packages/contracts/fhe/IFHENetwork.sol createTask).
+
+Where the reference splits client (TS/WASM), relayer (HTTP) and coprocessor
+(external binary), this framework keeps one Python object whose compute runs
+on TPU; the HTTP serving layer (tfhe_tpu/api/serve.py) exposes the same
+split over the wire for ecosystem parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import secrets
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tfhe_tpu.api.acl import Acl
+from tfhe_tpu.api.handles import FhevmHandle
+from tfhe_tpu.api.public_key import CompactPublicKey, gen_public_key, pk_encrypt_blocks
+from tfhe_tpu.api.types import (
+    FHE_TYPES,
+    MAX_ENCRYPTION_BITS,
+    MAX_VALUES_PER_INPUT,
+    FheType,
+    type_from_id,
+)
+from tfhe_tpu.models import integer as ri
+from tfhe_tpu.models import shortint as si
+from tfhe_tpu.params import ShortintParams
+from tfhe_tpu.rng import FheRng
+from tfhe_tpu.utils import serialization
+
+U64 = jnp.uint64
+
+
+class EncryptedInput:
+    """Input builder (reference: sdk/encrypt.ts EncryptedInput.addBool/
+    add8..add256/addAddress/encrypt, caps at :73-83)."""
+
+    def __init__(self, instance: "FhevmInstance", contract: str, user: str):
+        self._inst = instance
+        self._contract = contract
+        self._user = user
+        self._items: list[tuple[FheType, int]] = []
+
+    def _add(self, tname: str, value: int):
+        t = FHE_TYPES[tname]
+        bits_used = sum(it.bits for it, _ in self._items) + t.bits
+        if bits_used > MAX_ENCRYPTION_BITS:
+            raise ValueError(f"input exceeds {MAX_ENCRYPTION_BITS} encrypted bits")
+        if len(self._items) + 1 > MAX_VALUES_PER_INPUT:
+            raise ValueError(f"more than {MAX_VALUES_PER_INPUT} values")
+        limit = 2 if tname == "ebool" else (1 << t.bits)
+        if not 0 <= value < max(limit, 2):
+            raise ValueError(f"{value} out of range for {tname}")
+        self._items.append((t, int(value)))
+        return self
+
+    def add_bool(self, v) -> "EncryptedInput":
+        return self._add("ebool", int(bool(v)))
+
+    def add8(self, v: int) -> "EncryptedInput":
+        return self._add("euint8", v)
+
+    def add16(self, v: int) -> "EncryptedInput":
+        return self._add("euint16", v)
+
+    def add32(self, v: int) -> "EncryptedInput":
+        return self._add("euint32", v)
+
+    def add64(self, v: int) -> "EncryptedInput":
+        return self._add("euint64", v)
+
+    def add128(self, v: int) -> "EncryptedInput":
+        return self._add("euint128", v)
+
+    def add256(self, v: int) -> "EncryptedInput":
+        return self._add("euint256", v)
+
+    def add_address(self, addr: str) -> "EncryptedInput":
+        v = int(addr, 16) if isinstance(addr, str) else int(addr)
+        return self._add("eaddress", v)
+
+    def encrypt(self) -> dict:
+        """Public-key encrypt all values, register ciphertexts with the
+        coprocessor store, return handles + serialized blob."""
+        inst = self._inst
+        handles = []
+        cts = []
+        for t, v in self._items:
+            ct = inst._pk_encrypt_value(t, v)
+            cts.append((t, ct))
+        blob = b"".join(
+            serialization.serialize(ct if isinstance(ct, ri.RadixCiphertext) else ct)
+            for _, ct in cts
+        )
+        for idx, (t, ct) in enumerate(cts):
+            h = FhevmHandle.from_ciphertext_blob(
+                blob,
+                idx,
+                t.type_id,
+                inst.chain_id,
+                contract_address=bytes.fromhex(self._contract[2:].rjust(40, "0")),
+                user_address=bytes.fromhex(self._user[2:].rjust(40, "0")),
+            )
+            hb = h.to_bytes32()
+            inst._store[hb] = (t, ct)
+            inst.acl.allow(hb, self._contract)
+            inst.acl.allow(hb, self._user)
+            handles.append(hb)
+        return {"handles": handles, "inputProof": blob[:64] + len(blob).to_bytes(8, "big")}
+
+
+class FhevmInstance:
+    def __init__(self, params: ShortintParams, seed: int = 0, chain_id: int = 31337):
+        self.params = params
+        self.chain_id = chain_id
+        self._ck, self._sk = si.keygen(params, seed=seed)
+        self._rng = FheRng(seed + 1)
+        self.public_key = gen_public_key(self._ck, self._rng.fork())
+        self.acl = Acl()
+        self._store: dict[bytes, tuple] = {}
+        self._rand_rng = FheRng(seed + 2)
+
+    # -- client surface ----------------------------------------------------
+
+    def create_encrypted_input(self, contract: str, user: str) -> EncryptedInput:
+        return EncryptedInput(self, contract, user)
+
+    def get_public_key(self) -> CompactPublicKey:
+        return self.public_key
+
+    def generate_keypair(self) -> dict:
+        """User re-encryption keypair analog (reference keypair.ts uses
+        ML-KEM via the KMS WASM; here a symmetric session secret stands in
+        until the threshold-KMS subsystem lands)."""
+        sk = secrets.token_bytes(32)
+        return {"privateKey": sk.hex(), "publicKey": sk.hex()}
+
+    def public_decrypt(self, handles: list) -> dict:
+        """reference publicDecrypt.ts: ACL isAllowedForDecryption gate, then
+        clear values keyed by handle."""
+        out = {}
+        for hb in handles:
+            if not self.acl.is_allowed_for_decryption(hb):
+                raise PermissionError(f"handle {hb.hex()} not allowed for decryption")
+            out["0x" + hb.hex()] = self._decrypt_handle(hb)
+        return out
+
+    def user_decrypt(self, pairs: list, user: str) -> list:
+        """reference userDecrypt.ts: persistAllowed(handle, user) and
+        (handle, contract) checks, then per-handle decryption."""
+        vals = []
+        for hb, contract in pairs:
+            if not self.acl.persist_allowed(hb, user):
+                raise PermissionError("user not allowed")
+            if not self.acl.persist_allowed(hb, contract):
+                raise PermissionError("contract not allowed")
+            vals.append(self._decrypt_handle(hb))
+        return vals
+
+    # -- coprocessor surface --------------------------------------------------
+
+    BINARY_OPS = {
+        "add": ri.add, "sub": ri.sub, "mul": ri.mul,
+        "and": ri.bitand, "or": ri.bitor, "xor": ri.bitxor,
+        "min": ri.min_, "max": ri.max_,
+    }
+    CMP_OPS = {"eq": ri.eq, "ne": ri.ne, "lt": ri.lt, "le": ri.le, "gt": ri.gt, "ge": ri.ge}
+    SHIFT_OPS = {"shl": ri.shl, "shr": ri.shr, "rotl": ri.rotl, "rotr": ri.rotr}
+
+    def fhe_op(self, op: str, *args) -> bytes:
+        """Execute FHE.<op> over handles/scalars, store and return the
+        result handle (the coprocessor loop of SURVEY.md section 3.4)."""
+        if op in self.BINARY_OPS or op in self.CMP_OPS:
+            a_t, a = self._get_radix(args[0])
+            if isinstance(args[1], bytes):
+                b_t, b = self._get_radix(args[1])
+            else:  # scalar operand
+                b = ri.trivial_radix(self.params, jnp.asarray(int(args[1]) % (1 << a.nbits), dtype=U64), a.nbits)
+                b_t = a_t
+            if op in self.BINARY_OPS:
+                res = self.BINARY_OPS[op](self._sk, a, b)
+                return self._put(a_t, res)
+            res = self.CMP_OPS[op](self._sk, a, b)
+            return self._put(FHE_TYPES["ebool"], res)
+        if op in self.SHIFT_OPS:
+            a_t, a = self._get_radix(args[0])
+            res = self.SHIFT_OPS[op](self._sk, a, int(args[1]))
+            return self._put(a_t, res)
+        if op == "not":
+            a_t, a = self._get_radix(args[0])
+            return self._put(a_t, ri.bitnot(self._sk, a))
+        if op == "neg":
+            a_t, a = self._get_radix(args[0])
+            return self._put(a_t, ri.neg(self._sk, a))
+        if op == "select":
+            c_t, c = self._store[args[0]]
+            assert c_t.name == "ebool"
+            a_t, a = self._get_radix(args[1])
+            _, b = self._get_radix(args[2])
+            return self._put(a_t, ri.select(self._sk, c, a, b))
+        if op == "cast":
+            a_t, a = self._get_radix(args[0])
+            target = FHE_TYPES[args[1]]
+            return self._put(target, ri.cast(self._sk, a, target.bits))
+        if op == "rand":
+            t = FHE_TYPES[args[0]]
+            upper = args[1] if len(args) > 1 else None
+            v = int.from_bytes(secrets.token_bytes(32), "big")
+            v %= upper if upper else (1 << t.bits)
+            ct = self._pk_encrypt_value(t, v)
+            return self._put(t, ct)
+        raise ValueError(f"unknown op {op}")
+
+    # -- internals --------------------------------------------------------------
+
+    def _pk_encrypt_value(self, t: FheType, v: int):
+        p = self.params
+        if t.name == "ebool":
+            blocks = pk_encrypt_blocks(self.public_key, jnp.asarray(int(v), dtype=U64), self._rng)
+            return si.Ciphertext(ct=blocks, params=p, degree=1, noise_level=1)
+        nb = ri.blocks_for_bits(p, t.bits)
+        import math
+
+        bpb = int(math.log2(p.message_modulus))
+        vals = jnp.asarray(
+            [(v >> (bpb * i)) & (p.message_modulus - 1) for i in range(nb)],
+            dtype=U64,
+        )
+        blocks = pk_encrypt_blocks(self.public_key, vals, self._rng)
+        return ri.RadixCiphertext(
+            blocks=blocks, params=p, degrees=(p.message_modulus - 1,) * nb
+        )
+
+    def _get_radix(self, handle: bytes):
+        t, ct = self._store[handle]
+        assert isinstance(ct, ri.RadixCiphertext), f"{t.name} is not a radix type"
+        return t, ct
+
+    def _put(self, t: FheType, ct) -> bytes:
+        h = FhevmHandle(
+            hash21=secrets.token_bytes(21),
+            index=0,
+            chain_id=self.chain_id,
+            type_id=t.type_id,
+        ).to_bytes32()
+        self._store[h] = (t, ct)
+        return h
+
+    def _decrypt_handle(self, hb: bytes):
+        t, ct = self._store[hb]
+        if t.name == "ebool":
+            return int(np.asarray(si.decrypt(self._ck, ct))) % 2
+        if t.bits > 64:
+            return ri.decrypt_radix_bigint(self._ck, ct)[0]
+        return int(np.asarray(ri.decrypt_radix(self._ck, ct)))
+
+
+def create_instance(
+    params: Optional[ShortintParams] = None, seed: int = 0, chain_id: int = 31337
+) -> FhevmInstance:
+    if params is None:
+        from tfhe_tpu import params as tp
+
+        params = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+    return FhevmInstance(params, seed=seed, chain_id=chain_id)

@@ -98,9 +98,17 @@ class KeyswitchKey:
 
     ksk: (n_in, level, n_out+1) u64 -- ksk[i, l] encrypts
     s_in[i] * q / B^(l+1) under s_out.
+
+    ksk_limbs: (16, n_in*level, n_out+1) int8 -- the same key split into
+    sixteen 4-bit limbs. The keyswitch contraction then runs as int8
+    matmuls with int32 accumulation: TPUs have no 64-bit dot (XLA's X64
+    rewriting does not cover dot_general), but the MXU natively does
+    int8 x int8 -> int32, which is both the portability fix and the
+    speed-of-light path.
     """
 
     ksk: jax.Array
+    ksk_limbs: jax.Array
     gadget: GadgetParams
 
     @property
@@ -112,6 +120,14 @@ class KeyswitchKey:
         return self.ksk.shape[2] - 1
 
 
+def _u64_to_nibbles(x: jax.Array) -> jax.Array:
+    """u64 (..., m) -> int8 (16, ..., m) of 4-bit limbs, LSB first."""
+    limbs = []
+    for l in range(16):
+        limbs.append(((x >> U64(4 * l)) & U64(0xF)).astype(jnp.int8))
+    return jnp.stack(limbs, axis=0)
+
+
 def gen_keyswitch_key(
     sk_in: LweSecretKey,
     sk_out: LweSecretKey,
@@ -120,11 +136,13 @@ def gen_keyswitch_key(
     noise: NoiseDistribution,
 ) -> KeyswitchKey:
     b, l = gadget.base_log, gadget.level
+    assert b <= 7, "digit magnitude must fit int8 for the MXU contraction"
     shifts = jnp.array([64 - (i + 1) * b for i in range(l)], dtype=U64)
     # pt[i, l] = s_in[i] << (64 - (l+1)*b)
     pts = sk_in.key[:, None] << shifts[None, :]
     ksk = encrypt_lwe(sk_out, pts, rng, noise)
-    return KeyswitchKey(ksk=ksk, gadget=gadget)
+    flat = ksk.reshape(sk_in.n * l, -1)
+    return KeyswitchKey(ksk=ksk, ksk_limbs=_u64_to_nibbles(flat), gadget=gadget)
 
 
 @jax.jit
@@ -132,17 +150,23 @@ def keyswitch(ct: jax.Array, ksk: KeyswitchKey) -> jax.Array:
     """Switch (..., n_in+1) to (..., n_out+1) under the output key.
 
     out = (0, body_in) - sum_{i,l} digit_{i,l} * ksk[i,l]  with balanced
-    gadget digits of the input mask. The contraction is a u64 "matmul"
-    (wrapping two's-complement arithmetic makes signed digits free).
+    gadget digits of the input mask. The contraction runs as 16 int8
+    matmuls (digits x 4-bit key limbs -> int32 partial sums, recombined
+    with wrapping shifts): exact mod 2^64 because
+    |digit| * 15 * n_in * level < 2^31 for every parameter set, and int8
+    is what the MXU natively accelerates (TPUs have no 64-bit dot; XLA's
+    X64 rewriting does not cover dot_general).
     """
     mask = ct[..., :-1]
     body = ct[..., -1]
     digits = signed_decompose(mask, ksk.gadget)  # (..., n_in, level)
-    # (..., n_in, level) x (n_in, level, n_out+1) -> (..., n_out+1)
-    acc = jnp.einsum(
-        "...il,ilm->...m",
-        digits.astype(jnp.int64),
-        ksk.ksk.astype(jnp.int64),
-    ).astype(U64)
+    flat = digits.reshape(*digits.shape[:-2], -1).astype(jnp.int8)
+    acc = None
+    for l in range(16):
+        part = jnp.matmul(
+            flat, ksk.ksk_limbs[l], preferred_element_type=jnp.int32
+        )
+        term = part.astype(jnp.int64).astype(U64) << U64(4 * l)
+        acc = term if acc is None else acc + term
     out = -acc
     return out.at[..., -1].add(body)

@@ -39,18 +39,26 @@ U64 = jnp.uint64
 
 
 def _keyswitch_sharded(ct, ksk_local, gadget, axis: str):
-    """Keyswitch with the KSK sharded over its n_in axis along `axis`."""
-    n_loc = ksk_local.shape[0]
+    """Keyswitch with the KSK sharded over its n_in axis along `axis`.
+
+    Same int8-limb contraction as core.lwe.keyswitch (TPUs have no 64-bit
+    dot); partial sums psum over the model axis.
+    """
+    from tfhe_tpu.core.lwe import _u64_to_nibbles
+
+    n_loc, level, m = ksk_local.shape
     idx = lax.axis_index(axis)
     mask = ct[..., :-1]
     body = ct[..., -1]
     digits = signed_decompose(mask, gadget)  # (..., n_in, level)
     local = lax.dynamic_slice_in_dim(digits, idx * n_loc, n_loc, axis=-2)
-    partial = jnp.einsum(
-        "...il,ilm->...m",
-        local.astype(jnp.int64),
-        ksk_local.astype(jnp.int64),
-    ).astype(U64)
+    flat = local.reshape(*local.shape[:-2], n_loc * level).astype(jnp.int8)
+    limbs = _u64_to_nibbles(ksk_local.reshape(n_loc * level, m))
+    partial = None
+    for l in range(16):
+        p = jnp.matmul(flat, limbs[l], preferred_element_type=jnp.int32)
+        term = p.astype(jnp.int64).astype(U64) << U64(4 * l)
+        partial = term if partial is None else partial + term
     total = lax.psum(partial, axis)
     out = -total
     return out.at[..., -1].add(body)
