@@ -1,0 +1,85 @@
+"""HTTP server e2e over a real socket (the reference's e2e/test/fhe.test.ts
+suite shape: health, publickey, encrypt, evaluate, decrypt, verify)."""
+
+import pytest
+
+from tfhe_tpu import params
+from tfhe_tpu.api.client import FheClient, FheClientError
+from tfhe_tpu.api.instance import create_instance
+from tfhe_tpu.api.serve import FheServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    inst = create_instance(params.TOY_SHORTINT, seed=19)
+    s = FheServer(inst).start()
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    return FheClient(f"http://127.0.0.1:{server.port}")
+
+
+def test_health(client):
+    assert client.health()["status"] == "ok"
+
+
+def test_publickey(client):
+    r = client.get_public_key()
+    assert len(r["publicKey"]) > 100
+    assert len(r["paramsHash"]) == 64
+
+
+def test_keyurl(client):
+    r = client._get("/keyurl")
+    assert r["response"]["fhe_key_info"][0]["params_hash"]
+
+
+@pytest.mark.parametrize("t,v", [("euint8", 200), ("euint16", 40000), ("euint32", 7)])
+def test_encrypt_evaluate_decrypt(client, t, v):
+    h1 = client.encrypt(v, t)["handle"]
+    h2 = client.encrypt(3, t)["handle"]
+    hs = client.evaluate("add", h1, h2)["handle"]
+    bits = int(t[5:])
+    assert client.decrypt(hs) == (v + 3) % (1 << bits)
+
+
+def test_evaluate_comparison_and_select(client):
+    h1 = client.encrypt(5, "euint8")["handle"]
+    h2 = client.encrypt(9, "euint8")["handle"]
+    hlt = client.evaluate("lt", h1, h2)["handle"]
+    assert client.decrypt(hlt) == 1
+    hsel = client.evaluate("select", hlt, h1, h2)["handle"]
+    assert client.decrypt(hsel) == 5
+
+
+def test_verify(client):
+    h = client.encrypt(1, "euint8")["handle"]
+    assert client.verify([h]) is True
+    assert client.verify(["0x" + "ab" * 32]) is False
+
+
+def test_error_paths(client):
+    with pytest.raises(FheClientError) as e:
+        client.encrypt(5, "euint7")
+    assert e.value.code == 400
+    with pytest.raises(FheClientError) as e:
+        client._post("/evaluate", {"op": "frobnicate", "args": []})
+    assert e.value.code in (400, 500)
+    import urllib.request, urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(f"{client.base}/nonexistent")
+
+
+def test_user_decrypt_flow(client):
+    user = "0x" + "aa" * 20
+    contract = "0x" + "bb" * 20
+    h = client.encrypt(123, "euint8", user=user, contract=contract)["handle"]
+    r = client.user_decrypt([(h, contract)], user)
+    assert r["values"] == ["123"]
+    with pytest.raises(FheClientError) as e:
+        client.user_decrypt([(h, contract)], "0x" + "cc" * 20)
+    assert e.value.code == 403

@@ -1,0 +1,193 @@
+"""HTTP serving layer: the FHE coprocessor over the wire.
+
+Reproduces the reference's Go FHE server API surface, whose contract is
+pinned by its consumers (reference: e2e/test/fhe.test.ts:30-190 -- /health,
+/publickey, /encrypt, /evaluate, /decrypt, /verify;
+packages/luxfhejs/src/index.ts:63-141; packages/hardhat-plugin/src/index.ts
+:58-76 talks to port 8448), plus the relayer endpoints the SDK expects
+(reference: sdk/relayer/src/relayer-provider/AbstractRelayerProvider.ts:39-51
+-- /keyurl, /input-proof, /public-decrypt, /user-decrypt).
+
+JSON over stdlib http.server (threaded); values are decimal strings,
+handles hex. The compute behind every endpoint is the TPU-backed
+FhevmInstance.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from tfhe_tpu.api.instance import FhevmInstance
+from tfhe_tpu.api.types import FHE_TYPES
+from tfhe_tpu.utils import serialization
+
+
+class FheServer:
+    """Wraps an FhevmInstance behind the reference server's HTTP API."""
+
+    def __init__(self, instance: FhevmInstance, host: str = "127.0.0.1", port: int = 0):
+        self.instance = instance
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # -- endpoint implementations -------------------------------------------
+
+    def health(self):
+        return {"status": "ok", "version": 1}
+
+    def publickey(self):
+        blob = serialization.serialize(self.instance.public_key)
+        return {"publicKey": blob.hex(), "paramsHash": self.instance.params.hash}
+
+    def keyurl(self):
+        # reference /keyurl returns URLs of key material; served inline here
+        return {
+            "response": {
+                "fhe_key_info": [
+                    {
+                        "fhe_public_key": {"urls": ["/publickey"]},
+                        "params_hash": self.instance.params.hash,
+                    }
+                ]
+            }
+        }
+
+    def encrypt(self, body):
+        t = body["type"]
+        if t not in FHE_TYPES:
+            raise ApiError(400, f"unknown type {t}")
+        value = int(body["value"])
+        contract = body.get("contract", "0x" + "00" * 20)
+        user = body.get("user", "0x" + "00" * 20)
+        builder = self.instance.create_encrypted_input(contract, user)
+        adder = {
+            "ebool": builder.add_bool, "euint8": builder.add8,
+            "euint16": builder.add16, "euint32": builder.add32,
+            "euint64": builder.add64, "euint128": builder.add128,
+            "euint256": builder.add256, "eaddress": builder.add_address,
+        }[t]
+        adder(value)
+        res = builder.encrypt()
+        h = res["handles"][0]
+        return {"handle": "0x" + h.hex(), "inputProof": res["inputProof"].hex()}
+
+    def evaluate(self, body):
+        op = body["op"]
+        args = []
+        for a in body["args"]:
+            if isinstance(a, str) and a.startswith("0x") and len(a) == 66:
+                args.append(bytes.fromhex(a[2:]))
+            else:
+                args.append(int(a))
+        h = self.instance.fhe_op(op, *args)
+        return {"handle": "0x" + h.hex()}
+
+    def decrypt(self, body):
+        h = bytes.fromhex(body["handle"][2:])
+        # server-side decrypt endpoint (reference /decrypt): gate on ACL
+        self.instance.acl.allow_for_decryption(h)
+        v = self.instance.public_decrypt([h])["0x" + h.hex()]
+        return {"value": str(v)}
+
+    def public_decrypt(self, body):
+        handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
+        try:
+            vals = self.instance.public_decrypt(handles)
+        except PermissionError as e:
+            raise ApiError(403, str(e))
+        return {"values": {k: str(v) for k, v in vals.items()}}
+
+    def user_decrypt(self, body):
+        pairs = [
+            (bytes.fromhex(p["handle"][2:]), p["contractAddress"])
+            for p in body["handleContractPairs"]
+        ]
+        try:
+            vals = self.instance.user_decrypt(pairs, body["userAddress"])
+        except PermissionError as e:
+            raise ApiError(403, str(e))
+        return {"values": [str(v) for v in vals]}
+
+    def verify(self, body):
+        """Input-proof verification (reference /verify and /input-proof):
+        recompute handles from the blob and check they're registered."""
+        handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
+        known = all(h in self.instance._store for h in handles)
+        return {"valid": bool(known)}
+
+
+class ApiError(Exception):
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+        self.msg = msg
+
+
+def _make_handler(server: FheServer):
+    routes_get = {
+        "/health": server.health,
+        "/publickey": server.publickey,
+        "/keyurl": server.keyurl,
+    }
+    routes_post = {
+        "/encrypt": server.encrypt,
+        "/evaluate": server.evaluate,
+        "/decrypt": server.decrypt,
+        "/verify": server.verify,
+        "/input-proof": server.verify,
+        "/public-decrypt": server.public_decrypt,
+        "/user-decrypt": server.user_decrypt,
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, code: int, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            fn = routes_get.get(self.path)
+            if fn is None:
+                return self._reply(404, {"error": f"no route {self.path}"})
+            try:
+                self._reply(200, fn())
+            except ApiError as e:
+                self._reply(e.code, {"error": e.msg})
+            except Exception as e:  # noqa: BLE001 -- server must not die
+                self._reply(500, {"error": str(e)})
+
+        def do_POST(self):
+            fn = routes_post.get(self.path)
+            if fn is None:
+                return self._reply(404, {"error": f"no route {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                self._reply(200, fn(body))
+            except ApiError as e:
+                self._reply(e.code, {"error": e.msg})
+            except (KeyError, ValueError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+            except Exception as e:  # noqa: BLE001
+                self._reply(500, {"error": str(e)})
+
+    return Handler
