@@ -560,7 +560,8 @@ def _shift_blocks(sk: ServerKey, a: RadixCiphertext, r: int, rotate: bool, left:
     m = p.message_modulus
     bpb = _bits_per_block(p)
     nb = a.nblocks
-    r = r % a.nbits if rotate else min(r, a.nbits)
+    # fhevm/tfhe-rs semantics: shift and rotate amounts reduce mod nbits
+    r = r % a.nbits
     q, rr = divmod(r, bpb)
     a = _fresh(sk, a)
     blocks = [a.blocks[..., i, :] for i in range(nb)]
@@ -610,6 +611,130 @@ def rotl(sk, a, r: int):
 
 def rotr(sk, a, r: int):
     return _shift_blocks(sk, a, r, rotate=True, left=False)
+
+
+# -- bit extraction / encrypted-amount shifts / division ---------------------------------------
+
+
+def extract_bits(sk: ServerKey, a: RadixCiphertext) -> list:
+    """All nbits bits of `a` as fresh 0/1 blocks (LSB first), via one
+    stacked PBS over (block, bit-position) pairs."""
+    p = sk.params
+    bpb = _bits_per_block(p)
+    a = _fresh(sk, a)
+    cts = []
+    tables = []
+    for i in range(a.nblocks):
+        for r in range(bpb):
+            cts.append(a.blocks[..., i, :])
+            tables.append(_lut_table(p, lambda v, r=r: (v >> r) & 1))
+    outs = _stacked_pbs(sk, cts, tables)
+    return outs  # list of (..., kN+1), values in {0,1}
+
+
+def _select_bit(sk: ServerKey, bit, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
+    cond = si.Ciphertext(ct=bit, params=sk.params, degree=1, noise_level=1)
+    return select(sk, cond, a, b)
+
+
+def _encrypted_shift(sk: ServerKey, a: RadixCiphertext, amt: RadixCiphertext, kind: str) -> RadixCiphertext:
+    """Barrel shifter: for each bit k of the (mod nbits) amount, select
+    between the current value and its 2^k-shifted version. log2(nbits)
+    select rounds, each one stacked-PBS batch."""
+    import math as _math
+
+    nbits = a.nbits
+    n_amt_bits = int(_math.log2(nbits))
+    assert 2**n_amt_bits == nbits, "nbits must be a power of two"
+    bits = extract_bits(sk, amt)[:n_amt_bits]  # amount mod nbits
+    shift_f = {"shl": shl, "shr": shr, "rotl": rotl, "rotr": rotr}[kind]
+    cur = _fresh(sk, a)
+    for k, bit in enumerate(bits):
+        shifted = shift_f(sk, cur, 1 << k)
+        cur = _select_bit(sk, bit, shifted, cur)
+    return cur
+
+
+def shl_enc(sk, a, amt):
+    return _encrypted_shift(sk, a, amt, "shl")
+
+
+def shr_enc(sk, a, amt):
+    return _encrypted_shift(sk, a, amt, "shr")
+
+
+def rotl_enc(sk, a, amt):
+    return _encrypted_shift(sk, a, amt, "rotl")
+
+
+def rotr_enc(sk, a, amt):
+    return _encrypted_shift(sk, a, amt, "rotr")
+
+
+def div_rem(sk: ServerKey, a: RadixCiphertext, b: RadixCiphertext):
+    """Restoring division: (quotient, remainder), unsigned.
+
+    Bit-serial: nbits rounds of R <- 2R + bit, compare, conditional
+    subtract. Division by zero follows tfhe-rs semantics: quotient all
+    ones, remainder = dividend (falls out of the restoring loop since
+    R >= 0 always holds).
+    """
+    p = sk.params
+    m = p.message_modulus
+    nbits = a.nbits
+    wide = nbits + 2 * _bits_per_block(p)  # headroom for the 2R+1 step
+    bits = extract_bits(sk, a)  # LSB first
+    d = cast(sk, _fresh(sk, b), wide)
+    r = trivial_radix(p, jnp.zeros(a.batch_shape, dtype=U64), wide)
+    q_bits = []
+    zero_block = jnp.zeros_like(bits[0])
+    for i in range(nbits - 1, -1, -1):
+        # R = 2R + bit_i
+        r2 = shl(sk, r, 1)
+        bit_radix = RadixCiphertext(
+            blocks=jnp.concatenate(
+                [bits[i][..., None, :]]
+                + [zero_block[..., None, :]] * (r2.nblocks - 1),
+                axis=-2,
+            ),
+            params=p,
+            degrees=(1,) + (0,) * (r2.nblocks - 1),
+        )
+        r2 = add(sk, r2, bit_radix)
+        c = ge(sk, r2, d)  # 0/1 block
+        r = select(sk, c, sub(sk, r2, d), r2)
+        q_bits.append((i, c.ct))
+    # assemble quotient: block j = bit_{2j} + 2*bit_{2j+1} (linear, no PBS)
+    bpb = _bits_per_block(p)
+    nb = blocks_for_bits(p, nbits)
+    qb = {i: ct for i, ct in q_bits}
+    blocks = []
+    for j in range(nb):
+        blk = qb[j * bpb]
+        for t in range(1, bpb):
+            blk = blk + qb[j * bpb + t] * U64(1 << t)
+        blocks.append(blk)
+    quot = RadixCiphertext(
+        blocks=jnp.stack(blocks, axis=-2), params=p, degrees=(m - 1,) * nb
+    )
+    rem = cast(sk, r, nbits)
+    return quot, rem
+
+
+def div(sk, a, b):
+    return div_rem(sk, a, b)[0]
+
+
+def rem(sk, a, b):
+    return div_rem(sk, a, b)[1]
+
+
+def scalar_div(sk, a, s: int):
+    return div(sk, a, _scalar_ct(sk, a, s))
+
+
+def scalar_rem(sk, a, s: int):
+    return rem(sk, a, _scalar_ct(sk, a, s))
 
 
 # -- casts ------------------------------------------------------------------------------------
