@@ -1,0 +1,94 @@
+"""ML layer: quantization, linear executor across FheModes, estimators,
+deployment triplet (the concrete-ml test strategy: most tests run
+disable/simulate, a sampled subset runs real FHE)."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu import params
+from tfhe_tpu.ml import FheMode, GlweLinearLayerExecutor, QuantizedArray, UniformQuantizer
+from tfhe_tpu.ml.sklearn import LinearRegression, LogisticRegression
+
+P = params.TOY_MATMUL
+
+
+def test_quantizer_roundtrip():
+    rs = np.random.RandomState(0)
+    v = rs.uniform(-3, 5, size=(10, 4))
+    qa = QuantizedArray.quantize(v, 8)
+    err = np.abs(qa.dequant() - v).max()
+    assert err <= float(np.max(qa.quantizer.scale))  # within one step
+
+
+def test_quantizer_per_axis():
+    v = np.array([[1.0, 100.0], [-1.0, -100.0]])
+    q = UniformQuantizer(8, per_axis=1).fit(v)
+    assert np.asarray(q.scale).shape == (1, 2)
+    err = np.abs(q.dequant(q.quant(v)) - v)
+    assert err[:, 0].max() < 0.05 and err[:, 1].max() < 2.0
+
+
+def test_linear_executor_disable_vs_float():
+    rs = np.random.RandomState(1)
+    w = rs.uniform(-1, 1, size=(16, 3))
+    b = rs.uniform(-1, 1, size=3)
+    x = rs.uniform(0, 1, size=(8, 16))
+    ex = GlweLinearLayerExecutor(weights=w, bias=b, params=P)
+    y = ex.forward(x, fhe=FheMode.DISABLE)
+    rel = np.abs(y - (x @ w + b)).max() / (np.abs(x @ w + b).max() + 1e-9)
+    assert rel < 0.05
+
+
+def test_linear_executor_execute_matches_disable():
+    """EXECUTE must reproduce DISABLE exactly: same integer pipeline."""
+    rs = np.random.RandomState(2)
+    w = rs.uniform(-1, 1, size=(16, 2))
+    x = rs.uniform(0, 1, size=(3, 16))
+    ex = GlweLinearLayerExecutor(weights=w, params=P).keygen(3)
+    y_clear = ex.forward(x, fhe=FheMode.DISABLE)
+    y_fhe = ex.forward(x, fhe=FheMode.EXECUTE)
+    np.testing.assert_allclose(y_fhe, y_clear, rtol=0, atol=1e-9)
+
+
+def test_linear_regression():
+    rs = np.random.RandomState(3)
+    X = rs.uniform(-1, 1, size=(100, 5))
+    true_w = np.array([1.0, -2.0, 0.5, 0.0, 3.0])
+    y = X @ true_w + 0.7
+    m = LinearRegression(n_bits=8, params=P).fit(X, y)
+    pred = m.predict(X)
+    assert np.corrcoef(pred, y)[0, 1] > 0.99
+    m.compile(seed=5)
+    pred_fhe = m.predict(X[:4], fhe="execute")
+    np.testing.assert_allclose(pred_fhe, m.predict(X[:4]), atol=1e-9)
+
+
+def test_logistic_regression_binary():
+    rs = np.random.RandomState(4)
+    X = np.concatenate([rs.normal(-1, 0.5, (50, 3)), rs.normal(1, 0.5, (50, 3))])
+    y = np.array([0] * 50 + [1] * 50)
+    m = LogisticRegression(n_bits=8, params=P).fit(X, y)
+    acc = (m.predict(X) == y).mean()
+    assert acc > 0.95
+    sim = (m.predict(X, fhe="simulate") == y).mean()
+    assert sim > 0.9
+
+
+def test_deployment_triplet(tmp_path):
+    from tfhe_tpu.ml.deploy import FHEModelClient, FHEModelDev, FHEModelServer
+
+    rs = np.random.RandomState(5)
+    w = rs.uniform(-1, 1, size=(16, 2))
+    b = np.array([0.5, -0.5])
+    x = rs.uniform(0, 1, size=(2, 16))
+    ex = GlweLinearLayerExecutor(weights=w, bias=b, params=P)
+    FHEModelDev(tmp_path, ex).save()
+
+    client = FHEModelClient(tmp_path, key_seed=7)
+    server = FHEModelServer(tmp_path)
+    blob, ctx = client.quantize_encrypt_serialize(x)
+    evk = client.get_serialized_evaluation_keys()
+    out_blob = server.run(blob, evk)
+    y = client.deserialize_decrypt_dequantize(out_blob, ctx)
+    y_clear = ex.forward(x, fhe="disable")
+    np.testing.assert_allclose(y, y_clear, atol=1e-9)
