@@ -67,9 +67,7 @@ def gen_bootstrap_key(
     ~0.9 GB instead of 1.9 GB. Kernels upcast per blind-rotation step.
     """
     ggsw = encrypt_ggsw_bits(glwe_sk, lwe_sk.key, gadget, rng, noise, engine)
-    return BootstrapKey(
-        bsk_ntt=engine.forward_u64(ggsw).astype(jnp.uint32), gadget=gadget
-    )
+    return BootstrapKey(bsk_ntt=engine.forward_u64(ggsw), gadget=gadget)
 
 
 def blind_rotate(

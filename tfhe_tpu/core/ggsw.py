@@ -112,12 +112,10 @@ def contract_residues(
     Leaving the reduction to `finalize_residues` lets partial sums from
     D-sharded keys be `psum`-ed across devices first (the GGSW-row / TP
     sharding of the distributed PBS)."""
-    if ggsw_ntt.dtype != U64:
-        ggsw_ntt = ggsw_ntt.astype(U64)  # keys may be stored u32 (HBM saving)
     out = []
     for i, p in enumerate(engine._p_arr):
-        a = fd[..., :, i, :]  # (..., D, N)
-        b = ggsw_ntt[..., :, :, i, :, :]  # (..., D, k+1, L, N)
+        a = fd[..., :, i, :].astype(U64)  # (..., D, N)
+        b = ggsw_ntt[..., :, :, i, :, :].astype(U64)  # (..., D, k+1, L, N)
         prod = (a[..., :, None, None, :] * b) % p
         # sum over D rows: each term < p < 2^32, D small -> no u64 overflow
         out.append(jnp.sum(prod, axis=-4))  # (..., k+1, L, N)

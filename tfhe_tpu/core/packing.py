@@ -60,9 +60,7 @@ def gen_packing_keyswitch_key(
     pts = jnp.zeros((sk_in.n, l, n_poly), dtype=U64)
     pts = pts.at[..., 0].set(sk_in.key[:, None] << shifts[None, :])
     ksk = encrypt_glwe(sk_out, pts, rng, noise, engine)  # (n_in, l, k+1, N)
-    return PackingKeyswitchKey(
-        ksk_ntt=engine.forward_u64(ksk).astype(jnp.uint32), gadget=gadget
-    )
+    return PackingKeyswitchKey(ksk_ntt=engine.forward_u64(ksk), gadget=gadget)
 
 
 def packing_keyswitch(
@@ -103,7 +101,7 @@ def packing_keyswitch(
         s = None
         for lo in range(0, n_in_k, chunk):
             hi = min(lo + chunk, n_in_k)
-            a = fd[..., lo:hi, :, i, :]  # (..., c, level, N)
+            a = fd[..., lo:hi, :, i, :].astype(U64)  # (..., c, level, N)
             b = pksk.ksk_ntt[lo:hi, :, :, i, :, :].astype(U64)  # (c, level, k+1, L, N)
             prod = (a[..., None, None, :] * b) % p
             part = jnp.sum(prod, axis=(-5, -4))  # (..., k+1, L, N)

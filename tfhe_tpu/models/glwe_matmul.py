@@ -157,8 +157,8 @@ def matrix_multiplication(
     # product GLWE for (r, o): sum over chunks of ct_chunk * w_chunk
     out = []
     for i, pr in enumerate(engine._p_arr):
-        a = f_ct[..., i, :, :]  # (R, chunks, k+1, L, N)
-        b = f_w[..., i, :]  # (O, chunks, N)
+        a = f_ct[..., i, :, :].astype(U64)  # (R, chunks, k+1, L, N)
+        b = f_w[..., i, :].astype(U64)  # (O, chunks, N)
         prod = (
             a[:, None, :, :, :, :] * b[None, :, :, None, None, :]
         ) % pr  # (R, O, chunks, k+1, L, N)

@@ -42,8 +42,12 @@ import jax.numpy as jnp
 U64 = jnp.uint64
 
 # NTT-friendly primes: 2^14 | p-1, so negacyclic transforms up to N=8192.
-# p1 = 15 * 2^27 + 1, p2 = 13 * 2^28 + 1 (both prime, checked at table build).
-DEFAULT_PRIMES = (2013265921, 3489660929)
+# p1 = 15 * 2^27 + 1, p2 = 27 * 2^26 + 1 (both prime, checked at table build).
+# Both are < 2^31 so that mod-p sums of two residues never overflow uint32:
+# the NTT domain is stored and computed in u32 (VPU-native; u64 is emulated
+# on TPU). CRT range: p1*p2/2 ~ 2^60.7 signed headroom, ample for
+# N * |digit| * 2^16 products at every parameter set.
+DEFAULT_PRIMES = (2013265921, 1811939329)
 DEFAULT_LIMB_BITS = 16
 
 
@@ -245,7 +249,7 @@ class NegacyclicEngine:
         """Transform a small signed polynomial.
 
         a: (..., N) int64 (or u64 two's complement of small values).
-        Returns (..., n_primes, N) u64 residues in NTT domain.
+        Returns (..., n_primes, N) u32 residues in NTT domain.
         """
         if a.dtype == jnp.uint64:
             a = a.astype(jnp.int64)
@@ -253,12 +257,12 @@ class NegacyclicEngine:
         for p, psi in zip(self._p_arr, self._psi):
             r = jnp.mod(a, p.astype(jnp.int64)).astype(U64)
             out.append(fntt(r, psi, p))
-        return jnp.stack(out, axis=-2)
+        return jnp.stack(out, axis=-2).astype(jnp.uint32)
 
     def forward_u64(self, b: jax.Array) -> jax.Array:
         """Transform a u64 torus polynomial via limb decomposition.
 
-        b: (..., N) u64. Returns (..., n_primes, n_limbs, N) u64 NTT-domain
+        b: (..., N) u64. Returns (..., n_primes, n_limbs, N) u32 NTT-domain
         residues of each 16-bit limb.
         """
         limbs = []
@@ -269,36 +273,42 @@ class NegacyclicEngine:
         out = []
         for p, psi in zip(self._p_arr, self._psi):
             out.append(fntt(lb % p, psi, p))
-        return jnp.stack(out, axis=-3)
+        return jnp.stack(out, axis=-3).astype(jnp.uint32)
 
     # -- transform-domain algebra -------------------------------------------
 
     def pointwise_mul(self, fa_small: jax.Array, fb_u64: jax.Array) -> jax.Array:
         """fa_small: (..., n_primes, N), fb_u64: (..., n_primes, n_limbs, N)
-        -> (..., n_primes, n_limbs, N) product residues."""
+        u32 -> (..., n_primes, n_limbs, N) u32 product residues."""
+        fa_small = fa_small.astype(U64)
+        fb_u64 = fb_u64.astype(U64)
         out = []
         for i, p in enumerate(self._p_arr):
             out.append(
                 _mulmod(fa_small[..., i, None, :], fb_u64[..., i, :, :], p)
             )
-        return jnp.stack(out, axis=-3)
+        return jnp.stack(out, axis=-3).astype(jnp.uint32)
 
     def add_domain(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        """Add two transform-domain tensors (residues mod each prime)."""
+        """Add two transform-domain tensors (residues mod each prime).
+        Residues are < 2^31, so plain u32 add + conditional subtract."""
         out = []
         for i, p in enumerate(self._p_arr):
-            out.append(_addmod(x[..., i, :, :], y[..., i, :, :], p))
+            p32 = jnp.uint32(int(p))
+            s = x[..., i, :, :] + y[..., i, :, :]
+            out.append(s - jnp.where(s >= p32, p32, jnp.uint32(0)))
         return jnp.stack(out, axis=-3)
 
     # -- inverse + reconstruction --------------------------------------------
 
     def backward(self, f: jax.Array) -> jax.Array:
-        """Inverse-transform (..., n_primes, n_limbs, N) residues and
+        """Inverse-transform (..., n_primes, n_limbs, N) u32 residues and
         reconstruct the u64 result mod 2^64.
 
         CRT (Garner) per limb gives the exact signed convolution coefficient
         (|x| < p1*p2/2); limbs recombine with wrapping shifts.
         """
+        f = f.astype(U64)
         r = []
         for i, (p, psi_inv, n_inv) in enumerate(
             zip(self._p_arr, self._psi_inv, self._n_inv)
