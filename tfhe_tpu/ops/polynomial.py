@@ -196,6 +196,151 @@ def intt(a, psi_inv_rev, n_inv, p):
     return _mulmod(a, n_inv, p)
 
 
+class FourStepNtt:
+    """MXU-native NTT mod p via the four-step algorithm with exact bf16
+    limb matmuls.
+
+    Negacyclic NTT = psi pre-twist, then cyclic DFT_N decomposed as
+    N = R x C: column DFT (matmul by W_R), twiddle by omega^{rc}, row DFT
+    (matmul by W_C). The mod-p matmuls split both operands into four 8-bit
+    limbs evaluated as ONE stacked bf16 matmul with f32 accumulation --
+    exact because 255^2 * R <= 2^22 < 2^24 for R <= 64 -- then limb blocks
+    recombine with weights 2^{8(a+b)} mod p in u64.
+
+    Output ordering is the transposed four-step order; the inverse consumes
+    the same ordering, and pointwise products are order-agnostic, so the
+    whole engine just has to use one ordering consistently.
+
+    This is where the PBS FLOPs land on the MXU: on TPU the radix-2 u64
+    path is emulated and HBM-bound (measured 3 PBS/s at full params); the
+    four-step path moves the O(N log N) multiply work into systolic-array
+    matmuls.
+    """
+
+    def __init__(self, p: int, n: int):
+        self.p = p
+        self.n = n
+        # factor N = R*C with R,C <= 64 (exactness bound) and R,C >= 2
+        r = 1
+        while r * r < n:
+            r *= 2
+        c = n // r
+        assert r * c == n and r <= 64 and c <= 64, f"unsupported N={n}"
+        self.r_dim, self.c_dim = r, c
+        g = _primitive_root(p)
+        psi = pow(g, (p - 1) // (2 * n), p)
+        omega = psi * psi % p  # primitive N-th root
+        # pre/post twist vectors
+        self.psi_pow = jnp.asarray(
+            np.array([pow(psi, i, p) for i in range(n)], dtype=np.uint64)
+        )
+        n_inv = pow(n, p - 2, p)
+        psi_inv = pow(psi, p - 2, p)
+        self.psi_inv_ninv_pow = jnp.asarray(
+            np.array(
+                [pow(psi_inv, i, p) * n_inv % p for i in range(n)],
+                dtype=np.uint64,
+            )
+        )
+        # mid twiddles omega^{r'c} as an (R, C) grid (and inverse)
+        omega_inv = pow(omega, p - 2, p)
+        tw = np.empty((r, c), dtype=np.uint64)
+        twi = np.empty((r, c), dtype=np.uint64)
+        for a in range(r):
+            for b in range(c):
+                tw[a, b] = pow(omega, a * b, p)
+                twi[a, b] = pow(omega_inv, a * b, p)
+        self.twiddle = jnp.asarray(tw)
+        self.twiddle_inv = jnp.asarray(twi)
+        # DFT matrices: W_R[r', r] = omega_R^{r r'}, omega_R = omega^C
+        om_r = pow(omega, c, p)
+        om_c = pow(omega, r, p)
+        om_r_inv = pow(om_r, p - 2, p)
+        om_c_inv = pow(om_c, p - 2, p)
+        self.w_r = self._limb_matrix(om_r, r)
+        self.w_r_inv = self._limb_matrix(om_r_inv, r)
+        self.w_c = self._limb_matrix(om_c, c)
+        self.w_c_inv = self._limb_matrix(om_c_inv, c)
+        # recombination weights 2^{8(a+b)} mod p
+        self.limb_w = jnp.asarray(
+            np.array([pow(2, 8 * k, p) for k in range(7)], dtype=np.uint64)
+        )
+        self._pu = U64(p)
+
+    def _limb_matrix(self, root: int, dim: int) -> jax.Array:
+        """(4*dim, dim) bf16: four stacked 8-bit limb planes of the DFT
+        matrix W[j, i] = root^{ij} mod p."""
+        w = np.empty((dim, dim), dtype=np.uint64)
+        for j in range(dim):
+            for i in range(dim):
+                w[j, i] = pow(root, i * j, self.p)
+        limbs = np.stack(
+            [(w >> (8 * a)) & 0xFF for a in range(4)], axis=0
+        )  # (4, dim, dim)
+        return jnp.asarray(limbs.reshape(4 * dim, dim).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+
+    def _mod_matmul(self, w_limbs: jax.Array, x: jax.Array) -> jax.Array:
+        """W @ x mod p along the second-to-last axis of x.
+
+        w_limbs: (4*D, D) bf16 limb planes; x: (..., D, C) u64 residues.
+        """
+        d = x.shape[-2]
+        xl = jnp.stack(
+            [((x >> U64(8 * b)) & U64(0xFF)) for b in range(4)], axis=-2
+        )  # (..., D, 4, C) -- limb-major blocks on the last axis
+        xl = xl.astype(jnp.bfloat16).reshape(*x.shape[:-2], d, -1)  # (..., D, 4C)
+        prod = jax.lax.dot_general(
+            w_limbs,
+            xl,
+            dimension_numbers=(((1,), (x.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4D, ..., 4C)
+        prod = jnp.moveaxis(prod, 0, -2)  # (..., 4D, 4C)
+        c_dim = x.shape[-1]
+        prod = prod.reshape(*x.shape[:-2], 4, d, 4, c_dim)
+        m = prod.astype(jnp.int32).astype(U64)  # exact integers < 2^22
+        # sum limb blocks with weights 2^{8(a+b)} mod p
+        acc = None
+        for k in range(7):
+            mk = None
+            for a in range(max(0, k - 3), min(4, k + 1)):
+                b = k - a
+                blk = m[..., a, :, b, :]
+                mk = blk if mk is None else mk + blk
+            term = mk * self.limb_w[k]
+            acc = term if acc is None else acc + term
+        return acc % self._pu  # (..., D, C)
+
+    def _mulmod_vec(self, x: jax.Array, tw: jax.Array) -> jax.Array:
+        return (x * tw) % self._pu
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        """x: (..., N) u64 residues < p -> (..., N) u64 NTT values
+        (four-step ordering)."""
+        r, c = self.r_dim, self.c_dim
+        y = self._mulmod_vec(x, self.psi_pow)
+        y = y.reshape(*x.shape[:-1], r, c)
+        y = self._mod_matmul(self.w_r, y)  # column DFT
+        y = self._mulmod_vec(y, self.twiddle)
+        # row DFT: contract over the C axis -> move it to position -2
+        y = jnp.swapaxes(y, -1, -2)  # (..., C, R)
+        y = self._mod_matmul(self.w_c, y)  # (..., C, R)
+        return y.reshape(*x.shape[:-1], self.n)
+
+    def backward(self, f: jax.Array) -> jax.Array:
+        """Inverse of `forward` (consumes four-step ordering)."""
+        r, c = self.r_dim, self.c_dim
+        y = f.reshape(*f.shape[:-1], c, r)
+        y = self._mod_matmul(self.w_c_inv, y)  # undo row DFT
+        y = jnp.swapaxes(y, -1, -2)  # (..., R, C)
+        y = self._mulmod_vec(y, self.twiddle_inv)
+        y = self._mod_matmul(self.w_r_inv, y)  # undo column DFT
+        y = y.reshape(*f.shape[:-1], self.n)
+        return self._mulmod_vec(y, self.psi_inv_ninv_pow)
+
+
 class NegacyclicEngine:
     """Exact negacyclic polymul mod 2^64: (small int poly) x (u64 torus poly).
 
@@ -211,6 +356,7 @@ class NegacyclicEngine:
         n: int,
         primes: Sequence[int] = DEFAULT_PRIMES,
         limb_bits: int = DEFAULT_LIMB_BITS,
+        ntt_impl: str = "four_step",
     ):
         assert n & (n - 1) == 0, "N must be a power of two"
         self.n = n
@@ -227,6 +373,15 @@ class NegacyclicEngine:
             self._psi_inv.append(jnp.asarray(pir))
             self._n_inv.append(U64(ni))
         self._p_arr = [U64(p) for p in self.primes]
+        # NTT backend: "four_step" runs the DFT matmuls on the MXU (exact
+        # bf16 limbs); "radix2" is the portable u64 butterfly reference.
+        # A key transformed under one ordering must be consumed under the
+        # same engine -- get_engine caches per (n, primes, impl).
+        if ntt_impl == "four_step" and n <= 4096 and n >= 4:
+            self._ntts = [FourStepNtt(p, n) for p in self.primes]
+        else:
+            self._ntts = None
+        self.ntt_impl = "four_step" if self._ntts else "radix2"
         # CRT constants for the 2-prime reconstruction
         assert len(self.primes) == 2, "engine currently uses a 2-prime CRT"
         p1, p2 = self.primes
@@ -243,6 +398,17 @@ class NegacyclicEngine:
         self.forward_u64 = jax.jit(self.forward_u64)
         self.backward = jax.jit(self.backward)
 
+    def _fwd(self, x: jax.Array, i: int) -> jax.Array:
+        """Forward NTT of u64 residues mod prime i (impl-specific order)."""
+        if self._ntts is not None:
+            return self._ntts[i].forward(x)
+        return fntt(x, self._psi[i], self._p_arr[i])
+
+    def _bwd(self, x: jax.Array, i: int) -> jax.Array:
+        if self._ntts is not None:
+            return self._ntts[i].backward(x)
+        return intt(x, self._psi_inv[i], self._n_inv[i], self._p_arr[i])
+
     # -- forward transforms -------------------------------------------------
 
     def forward_small(self, a: jax.Array) -> jax.Array:
@@ -254,9 +420,9 @@ class NegacyclicEngine:
         if a.dtype == jnp.uint64:
             a = a.astype(jnp.int64)
         out = []
-        for p, psi in zip(self._p_arr, self._psi):
+        for i, p in enumerate(self._p_arr):
             r = jnp.mod(a, p.astype(jnp.int64)).astype(U64)
-            out.append(fntt(r, psi, p))
+            out.append(self._fwd(r, i))
         return jnp.stack(out, axis=-2).astype(jnp.uint32)
 
     def forward_u64(self, b: jax.Array) -> jax.Array:
@@ -271,8 +437,8 @@ class NegacyclicEngine:
             limbs.append((b >> U64(l * self.limb_bits)) & mask)
         lb = jnp.stack(limbs, axis=-2)  # (..., n_limbs, N)
         out = []
-        for p, psi in zip(self._p_arr, self._psi):
-            out.append(fntt(lb % p, psi, p))
+        for i, p in enumerate(self._p_arr):
+            out.append(self._fwd(lb % p, i))
         return jnp.stack(out, axis=-3).astype(jnp.uint32)
 
     # -- transform-domain algebra -------------------------------------------
@@ -310,10 +476,8 @@ class NegacyclicEngine:
         """
         f = f.astype(U64)
         r = []
-        for i, (p, psi_inv, n_inv) in enumerate(
-            zip(self._p_arr, self._psi_inv, self._n_inv)
-        ):
-            r.append(intt(f[..., i, :, :], psi_inv, n_inv, p))
+        for i in range(len(self._p_arr)):
+            r.append(self._bwd(f[..., i, :, :], i))
         r1, r2 = r[0], r[1]
         p1, p2 = self._p_arr
         t = _mulmod(_submod(r2, r1 % p2, p2), self._inv_p1_mod_p2, p2)
@@ -341,8 +505,9 @@ def get_engine(
     n: int,
     primes: Sequence[int] = DEFAULT_PRIMES,
     limb_bits: int = DEFAULT_LIMB_BITS,
+    ntt_impl: str = "four_step",
 ) -> NegacyclicEngine:
-    return NegacyclicEngine(n, primes, limb_bits)
+    return NegacyclicEngine(n, primes, limb_bits, ntt_impl)
 
 
 def negacyclic_polymul_reference(a, b, q: int = 2**64) -> np.ndarray:
