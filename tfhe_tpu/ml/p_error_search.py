@@ -1,0 +1,54 @@
+"""Binary search of the PBS failure probability meeting an accuracy target.
+
+Analog of the reference's p_error search (reference:
+ml/concrete-ml/src/concrete/ml/search_parameters/p_error_search.py: binary
+search p_error, evaluate the model under simulation at each step, keep the
+largest p_error whose accuracy stays within tolerance of the reference).
+Larger tolerated p_error buys smaller/faster crypto parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+
+@dataclasses.dataclass
+class PErrorSearchResult:
+    p_error: float
+    accuracy: float
+    history: list
+
+
+def binary_search_p_error(
+    eval_fn: Callable[[float], float],
+    target_accuracy: float,
+    tolerance: float = 0.01,
+    lo: float = 2.0**-40,
+    hi: float = 0.5,
+    max_iters: int = 20,
+) -> PErrorSearchResult:
+    """Find the largest p_error whose accuracy >= target - tolerance.
+
+    eval_fn(p_error) -> accuracy, typically running the model in SIMULATE
+    mode with noise scaled to that failure probability.
+    """
+    history = []
+    best = (lo, eval_fn(lo))
+    history.append(best)
+    if best[1] < target_accuracy - tolerance:
+        return PErrorSearchResult(p_error=lo, accuracy=best[1], history=history)
+    llo, lhi = math.log2(lo), math.log2(hi)
+    for _ in range(max_iters):
+        mid = 2.0 ** ((llo + lhi) / 2.0)
+        acc = eval_fn(mid)
+        history.append((mid, acc))
+        if acc >= target_accuracy - tolerance:
+            best = (mid, acc)
+            llo = math.log2(mid)
+        else:
+            lhi = math.log2(mid)
+        if lhi - llo < 0.1:
+            break
+    return PErrorSearchResult(p_error=best[0], accuracy=best[1], history=history)
