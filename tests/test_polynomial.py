@@ -46,10 +46,11 @@ def test_ntt_negacyclic_convolution_mod_p(p):
 
 @pytest.mark.parametrize("n", [64, 256])
 def test_polymul_small_x_u64_exact(n):
-    """small signed poly x uniform u64 poly, exact mod 2^64."""
+    """small signed poly x uniform u64 poly, exact mod 2^64 (the CRT
+    contract: N * |a| * 2^64 below the 3-prime range)."""
     eng = get_engine(n)
     rs = np.random.RandomState(3)
-    a = rs.randint(-(2**22), 2**22, size=(2, n)).astype(np.int64)
+    a = rs.randint(-(2**15), 2**15, size=(2, n)).astype(np.int64)
     b = rs.randint(0, 2**64, size=(2, n), dtype=np.uint64)
     got = eng.polymul(jnp.asarray(a), jnp.asarray(b))
     for i in range(2):
@@ -57,6 +58,19 @@ def test_polymul_small_x_u64_exact(n):
         np.testing.assert_array_equal(
             np.asarray(got[i]), expected.astype(np.uint64)
         )
+
+
+def test_polymul_digits_x_modswitched_key():
+    """Gadget-digit magnitudes (2^22) against 44-bit key values: the
+    bootstrap-key configuration."""
+    n = 256
+    eng = get_engine(n)
+    rs = np.random.RandomState(8)
+    a = rs.randint(-(2**22), 2**22, size=n).astype(np.int64)
+    b = rs.randint(0, 2**44, size=n, dtype=np.uint64)
+    got = eng.polymul(jnp.asarray(a), jnp.asarray(b))
+    expected = negacyclic_polymul_reference(a, b)
+    np.testing.assert_array_equal(np.asarray(got), expected.astype(np.uint64))
 
 
 def test_polymul_binary_secret():
@@ -72,15 +86,15 @@ def test_polymul_binary_secret():
 
 
 def test_polymul_max_magnitude_guard():
-    """Engine reports its small-operand headroom and is exact at the edge."""
+    """Engine reports its product headroom and is exact at the edge."""
     n = 256
     eng = get_engine(n)
-    assert eng.max_small_bits >= 30  # plenty for gadget digits and weights
-    hi = 2**30 - 1
+    assert eng.max_product_bits >= 83  # prod/2 / N for the 3-prime CRT
+    hi = 2 ** (eng.max_product_bits - 64)  # max |a| against full-u64 b
     rs = np.random.RandomState(5)
     a = rs.randint(-hi, hi, size=n).astype(np.int64)
-    a[0] = hi
-    a[1] = -hi
+    a[0] = hi - 1
+    a[1] = -(hi - 1)
     b = np.full(n, 2**64 - 1, dtype=np.uint64)
     got = eng.polymul(jnp.asarray(a), jnp.asarray(b))
     expected = negacyclic_polymul_reference(a, b)

@@ -24,7 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from tfhe_tpu.core.ggsw import encrypt_ggsw_bits, external_product
+from tfhe_tpu.core.ggsw import encrypt_ggsw_bits, external_product, ggsw_to_ntt
 from tfhe_tpu.core.keys import GlweSecretKey, LweSecretKey
 from tfhe_tpu.core.lwe import sample_extract
 from tfhe_tpu.ops.polynomial import NegacyclicEngine
@@ -36,12 +36,18 @@ from tfhe_tpu.utils.pytree import pytree_dataclass
 U64 = jnp.uint64
 
 
-@pytree_dataclass(meta=("gadget",))
+@pytree_dataclass(meta=("gadget", "shift"))
 class BootstrapKey:
-    """NTT-domain bootstrap key: (n, D, k+1, n_primes, n_limbs, N)."""
+    """NTT-domain bootstrap key: (n, D, k+1, n_primes, N) u32.
+
+    The key is modulus-switched to 64-shift bits before the transform so
+    gadget digits x key products fit the 3-prime CRT range; `shift` scales
+    results back (the added rounding noise is negligible next to the
+    external-product noise, see tfhe_tpu.noise)."""
 
     bsk_ntt: jax.Array
     gadget: GadgetParams
+    shift: int
 
     @property
     def lwe_dim(self) -> int:
@@ -67,7 +73,13 @@ def gen_bootstrap_key(
     ~0.9 GB instead of 1.9 GB. Kernels upcast per blind-rotation step.
     """
     ggsw = encrypt_ggsw_bits(glwe_sk, lwe_sk.key, gadget, rng, noise, engine)
-    return BootstrapKey(bsk_ntt=engine.forward_u64(ggsw), gadget=gadget)
+    msb = 44
+    assert (
+        gadget.base_log - 1 + msb + int(math.log2(engine.n))
+        < engine.max_product_bits
+    ), "gadget digits x key values exceed the CRT range"
+    bsk_ntt, shift = ggsw_to_ntt(ggsw, engine, msb_bits=msb)
+    return BootstrapKey(bsk_ntt=bsk_ntt, gadget=gadget, shift=shift)
 
 
 def blind_rotate(
@@ -95,10 +107,10 @@ def blind_rotate(
     a_steps = jnp.moveaxis(a_t, -1, 0)  # (n, ...)
 
     def step(carry, xs):
-        bsk_j, a_j = xs  # (D, k+1, P, L, N), (...,)
+        bsk_j, a_j = xs  # (D, k+1, P, N), (...,)
         rot = negacyclic_monomial_rotate(carry, a_j[..., None])
         carry = carry + external_product(
-            bsk_j, rot - carry, bsk.gadget, engine
+            bsk_j, rot - carry, bsk.gadget, engine, shift=bsk.shift
         )
         return carry, None
 

@@ -63,9 +63,21 @@ def encrypt_ggsw_bits(
     return rows.at[..., 0].add(add)
 
 
-def ggsw_to_ntt(ggsw: jax.Array, engine: NegacyclicEngine) -> jax.Array:
-    """(..., D, k+1, N) -> (..., D, k+1, n_primes, n_limbs, N)."""
-    return engine.forward_u64(ggsw)
+def ggsw_to_ntt(
+    ggsw: jax.Array, engine: NegacyclicEngine, msb_bits: int | None = None
+) -> tuple[jax.Array, int] | jax.Array:
+    """(..., D, k+1, N) -> (..., D, k+1, n_primes, N) u32 residues.
+
+    With msb_bits set, the key is modulus-switched to that many bits before
+    the transform (CRT headroom for large gadget digits; negligible noise,
+    see tfhe_tpu.noise); the caller must then pass shift = 64 - msb_bits to
+    external_product.
+    """
+    if msb_bits is None:
+        return engine.forward_u64(ggsw)
+    from tfhe_tpu.torus import mod_switch
+
+    return engine.forward_u64(mod_switch(ggsw, msb_bits)), 64 - msb_bits
 
 
 def external_product(
@@ -73,20 +85,19 @@ def external_product(
     glwe: jax.Array,
     gadget: GadgetParams,
     engine: NegacyclicEngine,
+    shift: int = 0,
 ) -> jax.Array:
     """GGSW(m) x GLWE(pt) -> GLWE(m*pt).
 
-    ggsw_ntt: (..., D, k+1, P, L, N) (from ggsw_to_ntt), glwe: (..., k+1, N).
+    ggsw_ntt: (..., D, k+1, P, N) (from ggsw_to_ntt), glwe: (..., k+1, N).
     Decomposition digits are forward-transformed once and contracted against
     all (k+1) output components in the NTT domain -- one inverse transform
-    per output component/limb/prime, not per row.
+    per output component/prime, not per row. `shift` matches the key's
+    modulus-switched storage (ggsw_to_ntt msb_bits).
     """
-    k1 = glwe.shape[-2]
-    n = glwe.shape[-1]
-    d_rows = k1 * gadget.level
     fd = decompose_forward(glwe, gadget, engine)  # (..., D, P, N)
     res = contract_residues(ggsw_ntt, fd, engine)
-    return finalize_residues(res, engine)
+    return finalize_residues(res, engine, shift=shift)
 
 
 def decompose_forward(
@@ -107,7 +118,7 @@ def contract_residues(
     ggsw_ntt: jax.Array, fd: jax.Array, engine: NegacyclicEngine
 ) -> jax.Array:
     """Transform-domain MAC over the D rows WITHOUT the final mod-p
-    reduction: returns (..., k+1, P, L, N) residue sums (< D * p each).
+    reduction: returns (..., k+1, P, N) residue sums (< D * p each).
 
     Leaving the reduction to `finalize_residues` lets partial sums from
     D-sharded keys be `psum`-ed across devices first (the GGSW-row / TP
@@ -115,20 +126,23 @@ def contract_residues(
     out = []
     for i, p in enumerate(engine._p_arr):
         a = fd[..., :, i, :].astype(U64)  # (..., D, N)
-        b = ggsw_ntt[..., :, :, i, :, :].astype(U64)  # (..., D, k+1, L, N)
-        prod = (a[..., :, None, None, :] * b) % p
-        # sum over D rows: each term < p < 2^32, D small -> no u64 overflow
-        out.append(jnp.sum(prod, axis=-4))  # (..., k+1, L, N)
-    return jnp.stack(out, axis=-3)  # (..., k+1, P, L, N)
+        b = ggsw_ntt[..., :, :, i, :].astype(U64)  # (..., D, k+1, N)
+        prod = (a[..., :, None, :] * b) % p
+        # sum over D rows: each term < p < 2^31, D small -> no u64 overflow
+        out.append(jnp.sum(prod, axis=-3))  # (..., k+1, N)
+    return jnp.stack(out, axis=-2)  # (..., k+1, P, N)
 
 
-def finalize_residues(res: jax.Array, engine: NegacyclicEngine) -> jax.Array:
+def finalize_residues(
+    res: jax.Array, engine: NegacyclicEngine, shift: int = 0
+) -> jax.Array:
     """Reduce residue sums mod each prime and inverse-transform:
-    (..., k+1, P, L, N) -> (..., k+1, N) u64."""
+    (..., k+1, P, N) -> (..., k+1, N) u64. `shift` undoes modulus-switched
+    key storage (core.bootstrap stores the BSK at 44 bits)."""
     reduced = []
     for i, p in enumerate(engine._p_arr):
-        reduced.append(res[..., i, :, :] % p)
-    return engine.backward(jnp.stack(reduced, axis=-3))
+        reduced.append(res[..., i, :] % p)
+    return engine.backward(jnp.stack(reduced, axis=-2), shift=shift)
 
 
 def cmux(
@@ -137,9 +151,10 @@ def cmux(
     ct_true: jax.Array,
     gadget: GadgetParams,
     engine: NegacyclicEngine,
+    shift: int = 0,
 ) -> jax.Array:
     """Select ct_true where GGSW encrypts 1, ct_false where 0:
     ct_false + GGSW ⊡ (ct_true - ct_false)."""
     return ct_false + external_product(
-        ggsw_ntt, ct_true - ct_false, gadget, engine
+        ggsw_ntt, ct_true - ct_false, gadget, engine, shift=shift
     )

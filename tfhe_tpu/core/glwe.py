@@ -30,10 +30,10 @@ def mask_times_key(
     keys.glwe_key_ntt. Returns (..., N).
     """
     k = mask.shape[-2]
-    fm = engine.forward_u64(mask)  # (..., k, P, L, N)
+    fm = engine.forward_u64(mask)  # (..., k, P, N)
     acc = None
     for j in range(k):
-        term = engine.pointwise_mul(sk_ntt[j], fm[..., j, :, :, :])
+        term = engine.pointwise_mul(sk_ntt[j], fm[..., j, :, :])
         acc = term if acc is None else engine.add_domain(acc, term)
     return engine.backward(acc)
 

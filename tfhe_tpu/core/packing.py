@@ -34,7 +34,7 @@ U64 = jnp.uint64
 
 @pytree_dataclass(meta=("gadget",))
 class PackingKeyswitchKey:
-    """ksk_ntt: (n_in, level, k_out+1, n_primes, n_limbs, N) u32 --
+    """ksk_ntt: (n_in, level, k_out+1, n_primes, N) u32 --
     NTT-domain GLWE encryptions of s_in[i] * q/B^(l+1)."""
 
     ksk_ntt: jax.Array
@@ -102,12 +102,12 @@ def packing_keyswitch(
         for lo in range(0, n_in_k, chunk):
             hi = min(lo + chunk, n_in_k)
             a = fd[..., lo:hi, :, i, :].astype(U64)  # (..., c, level, N)
-            b = pksk.ksk_ntt[lo:hi, :, :, i, :, :].astype(U64)  # (c, level, k+1, L, N)
-            prod = (a[..., None, None, :] * b) % p
-            part = jnp.sum(prod, axis=(-5, -4))  # (..., k+1, L, N)
+            b = pksk.ksk_ntt[lo:hi, :, :, i, :].astype(U64)  # (c, level, k+1, N)
+            prod = (a[..., :, :, None, :] * b) % p
+            part = jnp.sum(prod, axis=(-4, -3))  # (..., k+1, N)
             s = part if s is None else s + part
         out.append(s % p)
-    f = jnp.stack(out, axis=-3)  # (..., k+1, P, L, N)
+    f = jnp.stack(out, axis=-2)  # (..., k+1, P, N)
     acc = engine.backward(f)  # (..., k+1, N)
     out_ct = -acc
     # add body polynomial to the GLWE body component

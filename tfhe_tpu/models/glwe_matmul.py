@@ -151,19 +151,19 @@ def matrix_multiplication(
     w_polys = jnp.moveaxis(w_rev, -1, 0)  # (O, n_chunks, N)
 
     # one-to-many: transform ciphertext once, weights once
-    f_ct = engine.forward_u64(enc.glwes)  # (R, chunks, k+1, P, L, N)
+    f_ct = engine.forward_u64(enc.glwes)  # (R, chunks, k+1, P, N)
     f_w = engine.forward_small(w_polys.astype(jnp.int64))  # (O, chunks, P, N)
 
     # product GLWE for (r, o): sum over chunks of ct_chunk * w_chunk
     out = []
     for i, pr in enumerate(engine._p_arr):
-        a = f_ct[..., i, :, :].astype(U64)  # (R, chunks, k+1, L, N)
+        a = f_ct[..., i, :].astype(U64)  # (R, chunks, k+1, N)
         b = f_w[..., i, :].astype(U64)  # (O, chunks, N)
         prod = (
-            a[:, None, :, :, :, :] * b[None, :, :, None, None, :]
-        ) % pr  # (R, O, chunks, k+1, L, N)
-        out.append(jnp.sum(prod, axis=2) % pr)  # (R, O, k+1, L, N)
-    f = jnp.stack(out, axis=-3)  # (R, O, k+1, P, L, N)
+            a[:, None, :, :, :] * b[None, :, :, None, :]
+        ) % pr  # (R, O, chunks, k+1, N)
+        out.append(jnp.sum(prod, axis=2) % pr)  # (R, O, k+1, N)
+    f = jnp.stack(out, axis=-2)  # (R, O, k+1, P, N)
     prod_glwes = engine.backward(f)  # (R, O, k+1, N)
 
     # extract the dot product at coefficient N-1 (reference

@@ -42,13 +42,21 @@ import jax.numpy as jnp
 U64 = jnp.uint64
 
 # NTT-friendly primes: 2^14 | p-1, so negacyclic transforms up to N=8192.
-# p1 = 15 * 2^27 + 1, p2 = 27 * 2^26 + 1 (both prime, checked at table build).
-# Both are < 2^31 so that mod-p sums of two residues never overflow uint32:
+# p1 = 15*2^27+1, p2 = 27*2^26+1, p3 = 63*2^25+1 (prime-checked at table
+# build). All < 2^31 so mod-p sums of two residues never overflow uint32:
 # the NTT domain is stored and computed in u32 (VPU-native; u64 is emulated
-# on TPU). CRT range: p1*p2/2 ~ 2^60.7 signed headroom, ample for
-# N * |digit| * 2^16 products at every parameter set.
-DEFAULT_PRIMES = (2013265921, 1811939329)
-DEFAULT_LIMB_BITS = 16
+# on TPU).
+#
+# LIMB-FREE design: with three primes the signed CRT range is
+# p1*p2*p3/2 ~ 2^91.6, so a full u64 operand multiplies a small operand
+# (|a| <= 2^16) -- or a 44-bit modulus-switched key multiplies gadget
+# digits (|d| <= 2^23) -- with the exact integer convolution reconstructed
+# by Garner and reduced mod 2^64. No 16-bit limb planes: one transform per
+# prime per polynomial, one inverse per prime per output. (The previous
+# 2-prime x 4-limb scheme ran 4x more inverse transforms and stored 8
+# NTT planes per key coefficient instead of 3.)
+DEFAULT_PRIMES = (2013265921, 1811939329, 2113929217)
+DEFAULT_LIMB_BITS = 16  # retained for serialization compat; unused by CRT3
 
 
 def _is_prime(n: int) -> bool:
@@ -382,21 +390,24 @@ class NegacyclicEngine:
         else:
             self._ntts = None
         self.ntt_impl = "four_step" if self._ntts else "radix2"
-        # CRT constants for the 2-prime reconstruction
-        assert len(self.primes) == 2, "engine currently uses a 2-prime CRT"
-        p1, p2 = self.primes
+        # Garner (mixed-radix) constants for the 3-prime CRT
+        assert len(self.primes) == 3, "engine uses a 3-prime CRT"
+        p1, p2, p3 = self.primes
+        prod = p1 * p2 * p3
         self._inv_p1_mod_p2 = U64(pow(p1, p2 - 2, p2))
-        self._p1p2 = U64((p1 * p2) % 2**64)
-        self._p1p2_half = U64((p1 * p2) // 2)
-        # headroom check: max |conv coeff| must fit the signed CRT range
-        self.max_small_bits = int(
-            np.floor(np.log2(p1 * p2 / 2) - np.log2(n) - limb_bits)
-        )
+        self._inv_p1p2_mod_p3 = U64(pow(p1 * p2 % p3, p3 - 2, p3))
+        self._prod_mod64 = U64(prod % 2**64)
+        half = prod // 2
+        self._h3 = U64(half // (p1 * p2))
+        self._h2 = U64(half % (p1 * p2) // p1)
+        self._h1 = U64(half % p1)
+        # signed CRT headroom: N * |a| * |b| must stay below prod/2
+        self.max_product_bits = int(np.floor(np.log2(prod / 2) - np.log2(n)))
         # jit the transforms: they are called eagerly from keygen /
         # encryption paths and re-trace identically otherwise.
         self.forward_small = jax.jit(self.forward_small)
         self.forward_u64 = jax.jit(self.forward_u64)
-        self.backward = jax.jit(self.backward)
+        self.backward = jax.jit(self.backward, static_argnames=("shift",))
 
     def _fwd(self, x: jax.Array, i: int) -> jax.Array:
         """Forward NTT of u64 residues mod prime i (impl-specific order)."""
@@ -426,34 +437,30 @@ class NegacyclicEngine:
         return jnp.stack(out, axis=-2).astype(jnp.uint32)
 
     def forward_u64(self, b: jax.Array) -> jax.Array:
-        """Transform a u64 torus polynomial via limb decomposition.
+        """Transform a u64 torus polynomial (limb-free: direct residues).
 
-        b: (..., N) u64. Returns (..., n_primes, n_limbs, N) u32 NTT-domain
-        residues of each 16-bit limb.
+        b: (..., N) u64. Returns (..., n_primes, N) u32 NTT-domain residues.
+        Callers must respect the CRT headroom: the exact integer convolution
+        against the other operand must stay below 2^max_product_bits --
+        full-u64 operands pair with |a| <= 2^16 (binary secrets, clear
+        weights, small gadget digits); bootstrap keys modulus-switch to 44
+        bits to pair with |digit| <= 2^23 (see core.bootstrap).
         """
-        limbs = []
-        mask = U64(2**self.limb_bits - 1)
-        for l in range(self.n_limbs):
-            limbs.append((b >> U64(l * self.limb_bits)) & mask)
-        lb = jnp.stack(limbs, axis=-2)  # (..., n_limbs, N)
         out = []
         for i, p in enumerate(self._p_arr):
-            out.append(self._fwd(lb % p, i))
-        return jnp.stack(out, axis=-3).astype(jnp.uint32)
+            out.append(self._fwd(b % p, i))
+        return jnp.stack(out, axis=-2).astype(jnp.uint32)
 
     # -- transform-domain algebra -------------------------------------------
 
-    def pointwise_mul(self, fa_small: jax.Array, fb_u64: jax.Array) -> jax.Array:
-        """fa_small: (..., n_primes, N), fb_u64: (..., n_primes, n_limbs, N)
-        u32 -> (..., n_primes, n_limbs, N) u32 product residues."""
-        fa_small = fa_small.astype(U64)
-        fb_u64 = fb_u64.astype(U64)
+    def pointwise_mul(self, fa: jax.Array, fb: jax.Array) -> jax.Array:
+        """(..., n_primes, N) x (..., n_primes, N) u32 -> u32 products."""
+        fa = fa.astype(U64)
+        fb = fb.astype(U64)
         out = []
         for i, p in enumerate(self._p_arr):
-            out.append(
-                _mulmod(fa_small[..., i, None, :], fb_u64[..., i, :, :], p)
-            )
-        return jnp.stack(out, axis=-3).astype(jnp.uint32)
+            out.append(_mulmod(fa[..., i, :], fb[..., i, :], p))
+        return jnp.stack(out, axis=-2).astype(jnp.uint32)
 
     def add_domain(self, x: jax.Array, y: jax.Array) -> jax.Array:
         """Add two transform-domain tensors (residues mod each prime).
@@ -461,40 +468,48 @@ class NegacyclicEngine:
         out = []
         for i, p in enumerate(self._p_arr):
             p32 = jnp.uint32(int(p))
-            s = x[..., i, :, :] + y[..., i, :, :]
+            s = x[..., i, :] + y[..., i, :]
             out.append(s - jnp.where(s >= p32, p32, jnp.uint32(0)))
-        return jnp.stack(out, axis=-3)
+        return jnp.stack(out, axis=-2)
 
     # -- inverse + reconstruction --------------------------------------------
 
-    def backward(self, f: jax.Array) -> jax.Array:
-        """Inverse-transform (..., n_primes, n_limbs, N) u32 residues and
-        reconstruct the u64 result mod 2^64.
+    def crt_reconstruct(self, r: list) -> jax.Array:
+        """Garner mixed-radix reconstruction of the exact signed value from
+        per-prime residues (u64 arrays < p_i), reduced mod 2^64."""
+        r1, r2, r3 = r
+        p1, p2, p3 = self._p_arr
+        v1 = r1
+        v2 = _mulmod(_submod(r2, v1 % p2, p2), self._inv_p1_mod_p2, p2)
+        # x mod p3 = v1 + p1*v2 (mod p3)
+        lo_mod_p3 = (v1 + (p1 % p3) * v2) % p3
+        v3 = _mulmod(_submod(r3, lo_mod_p3, p3), self._inv_p1p2_mod_p3, p3)
+        # x = v1 + p1*(v2 + p2*v3): exact < p1*p2*p3 ~ 2^92.6; the mod-2^64
+        # wrap of the Horner form is exactly x mod 2^64
+        x = v1 + p1 * (v2 + p2 * v3)
+        # signed centering: compare mixed-radix digits against prod/2
+        neg = (v3 > self._h3) | (
+            (v3 == self._h3)
+            & ((v2 > self._h2) | ((v2 == self._h2) & (v1 > self._h1)))
+        )
+        return x - jnp.where(neg, self._prod_mod64, U64(0))
 
-        CRT (Garner) per limb gives the exact signed convolution coefficient
-        (|x| < p1*p2/2); limbs recombine with wrapping shifts.
-        """
+    def backward(self, f: jax.Array, shift: int = 0) -> jax.Array:
+        """Inverse-transform (..., n_primes, N) u32 residues, reconstruct
+        the exact value via CRT, reduce mod 2^64 and scale by 2^shift
+        (shift > 0 undoes modulus-switched key storage)."""
         f = f.astype(U64)
-        r = []
-        for i in range(len(self._p_arr)):
-            r.append(self._bwd(f[..., i, :, :], i))
-        r1, r2 = r[0], r[1]
-        p1, p2 = self._p_arr
-        t = _mulmod(_submod(r2, r1 % p2, p2), self._inv_p1_mod_p2, p2)
-        x = r1 + p1 * t  # exact value in [0, p1*p2), fits u64
-        # center to signed, then wrap mod 2^64 (u64 arithmetic wraps for us)
-        x = x - jnp.where(x > self._p1p2_half, self._p1p2, U64(0))
-        # recombine limbs: (..., n_limbs, N) -> (..., N)
-        acc = jnp.zeros(x.shape[:-2] + x.shape[-1:], dtype=U64)
-        for l in range(self.n_limbs):
-            acc = acc + (x[..., l, :] << U64(l * self.limb_bits))
-        return acc
+        r = [self._bwd(f[..., i, :], i) for i in range(len(self._p_arr))]
+        x = self.crt_reconstruct(r)
+        if shift:
+            x = x << U64(shift)
+        return x
 
     # -- convenience ----------------------------------------------------------
 
     def polymul(self, a_small: jax.Array, b_u64: jax.Array) -> jax.Array:
-        """Negacyclic product mod 2^64 of a small polynomial and a u64
-        polynomial; shapes broadcast over leading dims."""
+        """Negacyclic product mod 2^64 of a small polynomial (|a| <= 2^16)
+        and a u64 polynomial; shapes broadcast over leading dims."""
         fa = self.forward_small(a_small)
         fb = self.forward_u64(b_u64)
         return self.backward(self.pointwise_mul(fa, fb))

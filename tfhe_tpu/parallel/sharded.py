@@ -64,7 +64,9 @@ def _keyswitch_sharded(ct, ksk_local, gadget, axis: str):
     return out.at[..., -1].add(body)
 
 
-def _blind_rotate_sharded(lut, lwe_ct, bsk_local, gadget, engine, axis: str):
+def _blind_rotate_sharded(
+    lut, lwe_ct, bsk_local, gadget, engine, axis: str, shift: int = 0
+):
     """Blind rotation with the BSK sharded over GGSW rows along `axis`."""
     n_poly = lut.shape[-1]
     two_n = 2 * n_poly
@@ -80,13 +82,13 @@ def _blind_rotate_sharded(lut, lwe_ct, bsk_local, gadget, engine, axis: str):
     a_steps = jnp.moveaxis(a_t, -1, 0)
 
     def step(carry, xs):
-        bsk_j, a_j = xs  # (D_loc, k+1, P, L, N), (...,)
+        bsk_j, a_j = xs  # (D_loc, k+1, P, N), (...,)
         rot = negacyclic_monomial_rotate(carry, a_j[..., None])
         fd = decompose_forward(rot - carry, gadget, engine)  # (..., D, P, N)
         fd_loc = lax.dynamic_slice_in_dim(fd, idx * d_loc, d_loc, axis=-3)
         res = contract_residues(bsk_j, fd_loc, engine)
         res = lax.psum(res, axis)
-        carry = carry + finalize_residues(res, engine)
+        carry = carry + finalize_residues(res, engine, shift=shift)
         return carry, None
 
     acc, _ = jax.lax.scan(step, acc, (bsk_local, a_steps))
@@ -98,6 +100,7 @@ def make_sharded_pbs_step(
     engine: NegacyclicEngine,
     ks_gadget,
     pbs_gadget,
+    bsk_shift: int = 20,
 ):
     """Build the jitted distributed PBS step.
 
@@ -112,7 +115,7 @@ def make_sharded_pbs_step(
     def step(cts, lut, bsk_ntt, ksk_arr):
         small = _keyswitch_sharded(cts, ksk_arr, ks_gadget, "model")
         acc = _blind_rotate_sharded(
-            lut, small, bsk_ntt, pbs_gadget, engine, "model"
+            lut, small, bsk_ntt, pbs_gadget, engine, "model", shift=bsk_shift
         )
         return sample_extract(acc, 0)
 
@@ -122,7 +125,7 @@ def make_sharded_pbs_step(
         in_specs=(
             P("data", None),
             P(None, None),
-            P(None, "model", None, None, None, None),
+            P(None, "model", None, None, None),
             P("model", None, None),
         ),
         out_specs=P("data", None),

@@ -64,7 +64,7 @@ def device_trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def pbs_speed_of_light(params, n_primes: int = 2, n_limbs: int = 4) -> dict:
+def pbs_speed_of_light(params, n_primes: int = 3, n_limbs: int = 1) -> dict:
     """Roofline estimate for one PBS at `params` on one chip.
 
     Counts the NTT butterfly multiplies and pointwise MACs, and the HBM
