@@ -37,7 +37,7 @@ def main():
 
     t0 = time.time()
     ck, sk = si.keygen(P, seed=1)
-    jax.block_until_ready(sk.bsk.bsk_ntt)
+    jax.device_get(sk.bsk.bsk_ntt.ravel()[:1])  # force keygen completion
     keygen_s = time.time() - t0
 
     engine = si.engine_for(P)
@@ -52,9 +52,14 @@ def main():
         # constants -- constants would ride every compile payload
         return programmable_bootstrap(keyswitch(cts, ksk), lut, bsk, engine)
 
+    def sync(x):
+        # block_until_ready does NOT synchronize on the axon backend
+        # (PERF_NOTES.md); a host read of one element forces completion.
+        jax.device_get(x.ravel()[:1])
+
     t1 = time.time()
     out = step(ct, lut, sk.bsk, sk.ksk)
-    out.block_until_ready()
+    sync(out)
     compile_s = time.time() - t1
 
     # correctness gate: the benchmark must compute real bootstraps
@@ -64,7 +69,7 @@ def main():
     t2 = time.time()
     for _ in range(iters):
         out = step(ct, lut, sk.bsk, sk.ksk)
-    out.block_until_ready()
+    sync(out)
     dt = time.time() - t2
 
     pbs_per_s = batch * iters / dt

@@ -25,7 +25,7 @@ from tfhe_tpu.core import (
     trivial_glwe,
 )
 from tfhe_tpu.core.ggsw import ggsw_to_ntt
-from tfhe_tpu.ops.polynomial import get_engine
+from tfhe_tpu.ops.folded_ntt import get_folded_engine as get_engine
 from tfhe_tpu.params import GadgetParams, NoiseDistribution
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.torus import decode, encode

@@ -22,7 +22,7 @@ from tfhe_tpu.core.seeded import (
     encrypt_glwe_seeded,
     expand_seeded_glwe,
 )
-from tfhe_tpu.ops.polynomial import get_engine
+from tfhe_tpu.ops.folded_ntt import get_folded_engine as get_engine
 from tfhe_tpu.params import NoiseDistribution
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.torus import decode, encode

@@ -38,7 +38,8 @@ U64 = jnp.uint64
 
 @pytree_dataclass(meta=("gadget", "shift"))
 class BootstrapKey:
-    """NTT-domain bootstrap key: (n, D, k+1, n_primes, N) u32.
+    """NTT-domain bootstrap key: (n, D, k+1, n_primes, 2, N) u32 Shoup
+    pairs (value, floor(value*2^32/p)).
 
     The key is modulus-switched to 64-shift bits before the transform so
     gadget digits x key products fit the 3-prime CRT range; `shift` scales
@@ -74,9 +75,9 @@ def gen_bootstrap_key(
     """
     ggsw = encrypt_ggsw_bits(glwe_sk, lwe_sk.key, gadget, rng, noise, engine)
     msb = 44
+    # max_product_bits already accounts for the N-fold convolution sum
     assert (
-        gadget.base_log - 1 + msb + int(math.log2(engine.n))
-        < engine.max_product_bits
+        gadget.base_log - 1 + msb <= engine.max_product_bits
     ), "gadget digits x key values exceed the CRT range"
     bsk_ntt, shift = ggsw_to_ntt(ggsw, engine, msb_bits=msb)
     return BootstrapKey(bsk_ntt=bsk_ntt, gadget=gadget, shift=shift)

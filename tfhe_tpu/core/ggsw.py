@@ -66,18 +66,22 @@ def encrypt_ggsw_bits(
 def ggsw_to_ntt(
     ggsw: jax.Array, engine: NegacyclicEngine, msb_bits: int | None = None
 ) -> tuple[jax.Array, int] | jax.Array:
-    """(..., D, k+1, N) -> (..., D, k+1, n_primes, N) u32 residues.
+    """(..., D, k+1, N) -> (..., D, k+1, n_primes, 2, N) u32 Shoup pairs.
 
-    With msb_bits set, the key is modulus-switched to that many bits before
-    the transform (CRT headroom for large gadget digits; negligible noise,
-    see tfhe_tpu.noise); the caller must then pass shift = 64 - msb_bits to
-    external_product.
+    GGSW keys are fixed operands, so the NTT residues are stored together
+    with their Shoup companions (folded_ntt.make_shoup): the per-step
+    pointwise products then run as ~20-op u32 sequences instead of
+    emulated u64 mulmods. With msb_bits set, the key is modulus-switched
+    to that many bits before the transform (CRT headroom for large gadget
+    digits; negligible noise, see tfhe_tpu.noise); the caller must then
+    pass shift = 64 - msb_bits to external_product.
     """
     if msb_bits is None:
-        return engine.forward_u64(ggsw)
+        return engine.make_shoup(engine.forward_u64(ggsw))
     from tfhe_tpu.torus import mod_switch
 
-    return engine.forward_u64(mod_switch(ggsw, msb_bits)), 64 - msb_bits
+    f = engine.forward_u64(mod_switch(ggsw, msb_bits))
+    return engine.make_shoup(f), 64 - msb_bits
 
 
 def external_product(
@@ -117,32 +121,28 @@ def decompose_forward(
 def contract_residues(
     ggsw_ntt: jax.Array, fd: jax.Array, engine: NegacyclicEngine
 ) -> jax.Array:
-    """Transform-domain MAC over the D rows WITHOUT the final mod-p
-    reduction: returns (..., k+1, P, N) residue sums (< D * p each).
+    """Transform-domain MAC over the D rows: Shoup products against the
+    key pairs, summed in unreduced u64 and reduced back to canonical
+    residues [0, p) per prime. Returns (..., k+1, P, N) u32.
 
-    Leaving the reduction to `finalize_residues` lets partial sums from
-    D-sharded keys be `psum`-ed across devices first (the GGSW-row / TP
-    sharding of the distributed PBS)."""
-    out = []
-    for i, p in enumerate(engine._p_arr):
-        a = fd[..., :, i, :].astype(U64)  # (..., D, N)
-        b = ggsw_ntt[..., :, :, i, :].astype(U64)  # (..., D, k+1, N)
-        prod = (a[..., :, None, :] * b) % p
-        # sum over D rows: each term < p < 2^31, D small -> no u64 overflow
-        out.append(jnp.sum(prod, axis=-3))  # (..., k+1, N)
-    return jnp.stack(out, axis=-2)  # (..., k+1, P, N)
+    Canonical output keeps `psum` partial sums from D-sharded keys (the
+    GGSW-row / TP sharding of the distributed PBS) inside u32 for up to
+    4 model shards; `finalize_residues` absorbs the lazy excess."""
+    # fd: (..., D, P, N) u32; ggsw_ntt: (..., D, k+1, P, 2, N)
+    prod = engine.pointwise_shoup(
+        fd[..., :, None, :, :], ggsw_ntt
+    )  # (..., D, k+1, P, N) in [0, 2p)
+    s = jnp.sum(prod.astype(U64), axis=-4)  # (..., k+1, P, N)
+    return engine.reduce_u64_domain(s, canonical=True)
 
 
 def finalize_residues(
     res: jax.Array, engine: NegacyclicEngine, shift: int = 0
 ) -> jax.Array:
-    """Reduce residue sums mod each prime and inverse-transform:
-    (..., k+1, P, N) -> (..., k+1, N) u64. `shift` undoes modulus-switched
-    key storage (core.bootstrap stores the BSK at 44 bits)."""
-    reduced = []
-    for i, p in enumerate(engine._p_arr):
-        reduced.append(res[..., i, :] % p)
-    return engine.backward(jnp.stack(reduced, axis=-2), shift=shift)
+    """Inverse-transform contracted residues: (..., k+1, P, N) u32 (lazy,
+    up to [0, 4p) after cross-device psum) -> (..., k+1, N) u64. `shift`
+    undoes modulus-switched key storage (the BSK is stored at 44 bits)."""
+    return engine.backward(engine.condsub_domain(res), shift=shift)
 
 
 def cmux(

@@ -26,14 +26,14 @@ def mask_times_key(
 ) -> jax.Array:
     """sum_j mask_j * s_j (negacyclic, mod 2^64).
 
-    mask: (..., k, N) u64; sk_ntt: (k, n_primes, N) from
+    mask: (..., k, N) u64; sk_ntt: (k, n_primes, 2, N) Shoup pairs from
     keys.glwe_key_ntt. Returns (..., N).
     """
     k = mask.shape[-2]
     fm = engine.forward_u64(mask)  # (..., k, P, N)
     acc = None
     for j in range(k):
-        term = engine.pointwise_mul(sk_ntt[j], fm[..., j, :, :])
+        term = engine.pointwise_shoup(fm[..., j, :, :], sk_ntt[j])
         acc = term if acc is None else engine.add_domain(acc, term)
     return engine.backward(acc)
 

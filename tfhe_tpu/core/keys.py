@@ -61,5 +61,7 @@ def glwe_to_lwe_secret_key(sk: GlweSecretKey) -> LweSecretKey:
 
 
 def glwe_key_ntt(sk: GlweSecretKey, engine: NegacyclicEngine) -> jax.Array:
-    """Precomputed NTT-domain secret (k, n_primes, N) for fast (de)encryption."""
-    return engine.forward_small(sk.key)
+    """Precomputed NTT-domain secret with Shoup companions
+    (k, n_primes, 2, N): the secret is a fixed operand, so every
+    mask-times-key product runs as a u32 Shoup sequence."""
+    return engine.make_shoup(engine.forward_small(sk.key))

@@ -34,7 +34,7 @@ U64 = jnp.uint64
 
 @pytree_dataclass(meta=("gadget",))
 class PackingKeyswitchKey:
-    """ksk_ntt: (n_in, level, k_out+1, n_primes, N) u32 --
+    """ksk_ntt: (n_in, level, k_out+1, n_primes, 2, N) u32 Shoup pairs --
     NTT-domain GLWE encryptions of s_in[i] * q/B^(l+1)."""
 
     ksk_ntt: jax.Array
@@ -60,7 +60,9 @@ def gen_packing_keyswitch_key(
     pts = jnp.zeros((sk_in.n, l, n_poly), dtype=U64)
     pts = pts.at[..., 0].set(sk_in.key[:, None] << shifts[None, :])
     ksk = encrypt_glwe(sk_out, pts, rng, noise, engine)  # (n_in, l, k+1, N)
-    return PackingKeyswitchKey(ksk_ntt=engine.forward_u64(ksk), gadget=gadget)
+    return PackingKeyswitchKey(
+        ksk_ntt=engine.make_shoup(engine.forward_u64(ksk)), gadget=gadget
+    )
 
 
 def packing_keyswitch(
@@ -93,21 +95,19 @@ def packing_keyswitch(
 
     fd = engine.forward_small(digit_polys)  # (..., n_in, level, P, N)
     # contract over (n_in, level) in chunks to bound peak memory (the full
-    # outer product is ~GBs at n_in=2048)
+    # outer product is ~GBs at n_in=2048); Shoup products against the key
+    # pairs, unreduced u64 accumulation, one reduction at the end
     chunk = 128
     n_in_k = pksk.n_in
-    out = []
-    for i, p in enumerate(engine._p_arr):
-        s = None
-        for lo in range(0, n_in_k, chunk):
-            hi = min(lo + chunk, n_in_k)
-            a = fd[..., lo:hi, :, i, :].astype(U64)  # (..., c, level, N)
-            b = pksk.ksk_ntt[lo:hi, :, :, i, :].astype(U64)  # (c, level, k+1, N)
-            prod = (a[..., :, :, None, :] * b) % p
-            part = jnp.sum(prod, axis=(-4, -3))  # (..., k+1, N)
-            s = part if s is None else s + part
-        out.append(s % p)
-    f = jnp.stack(out, axis=-2)  # (..., k+1, P, N)
+    s = None
+    for lo in range(0, n_in_k, chunk):
+        hi = min(lo + chunk, n_in_k)
+        a = fd[..., lo:hi, :, None, :, :]  # (..., c, level, 1, P, N)
+        b = pksk.ksk_ntt[lo:hi]  # (c, level, k+1, P, 2, N)
+        prod = engine.pointwise_shoup(a, b)  # (..., c, level, k+1, P, N)
+        part = jnp.sum(prod.astype(U64), axis=(-5, -4))  # (..., k+1, P, N)
+        s = part if s is None else s + part
+    f = engine.reduce_u64_domain(s)  # (..., k+1, P, N) u32
     acc = engine.backward(f)  # (..., k+1, N)
     out_ct = -acc
     # add body polynomial to the GLWE body component

@@ -35,7 +35,7 @@ from tfhe_tpu.core.lwe import (
     gen_keyswitch_key,
     keyswitch,
 )
-from tfhe_tpu.ops.polynomial import get_engine
+from tfhe_tpu.ops.folded_ntt import get_folded_engine as get_engine
 from tfhe_tpu.params import BooleanParams
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.utils.pytree import pytree_dataclass

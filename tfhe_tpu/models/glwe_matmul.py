@@ -44,7 +44,8 @@ from tfhe_tpu.core.packing import (
     gen_packing_keyswitch_key,
     packing_keyswitch,
 )
-from tfhe_tpu.ops.polynomial import NegacyclicEngine, get_engine
+from tfhe_tpu.ops.polynomial import NegacyclicEngine
+from tfhe_tpu.ops.folded_ntt import get_folded_engine as get_engine
 from tfhe_tpu.params import MatmulParams
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.torus import mod_switch
@@ -150,20 +151,21 @@ def matrix_multiplication(
     w_rev = w_chunks[:, ::-1, :]  # reverse within chunk
     w_polys = jnp.moveaxis(w_rev, -1, 0)  # (O, n_chunks, N)
 
-    # one-to-many: transform ciphertext once, weights once
+    # one-to-many: transform ciphertext once, weights once; the weights
+    # are the fixed operand, so they carry the Shoup companions
     f_ct = engine.forward_u64(enc.glwes)  # (R, chunks, k+1, P, N)
-    f_w = engine.forward_small(w_polys.astype(jnp.int64))  # (O, chunks, P, N)
+    f_w = engine.make_shoup(
+        engine.forward_small(w_polys.astype(jnp.int64))
+    )  # (O, chunks, P, 2, N)
 
     # product GLWE for (r, o): sum over chunks of ct_chunk * w_chunk
-    out = []
-    for i, pr in enumerate(engine._p_arr):
-        a = f_ct[..., i, :].astype(U64)  # (R, chunks, k+1, N)
-        b = f_w[..., i, :].astype(U64)  # (O, chunks, N)
-        prod = (
-            a[:, None, :, :, :] * b[None, :, :, None, :]
-        ) % pr  # (R, O, chunks, k+1, N)
-        out.append(jnp.sum(prod, axis=2) % pr)  # (R, O, k+1, N)
-    f = jnp.stack(out, axis=-2)  # (R, O, k+1, P, N)
+    prod = engine.pointwise_shoup(
+        f_ct[:, None],  # (R, 1, chunks, k+1, P, N)
+        f_w[None, :, :, None],  # (1, O, chunks, 1, P, 2, N)
+    )  # (R, O, chunks, k+1, P, N) in [0, 2p)
+    f = engine.reduce_u64_domain(
+        jnp.sum(prod.astype(U64), axis=2)
+    )  # (R, O, k+1, P, N) u32
     prod_glwes = engine.backward(f)  # (R, O, k+1, N)
 
     # extract the dot product at coefficient N-1 (reference

@@ -46,7 +46,8 @@ from tfhe_tpu.core.lwe import (
     keyswitch,
     trivial_lwe,
 )
-from tfhe_tpu.ops.polynomial import NegacyclicEngine, get_engine
+from tfhe_tpu.ops.polynomial import NegacyclicEngine
+from tfhe_tpu.ops.folded_ntt import get_folded_engine as get_engine
 from tfhe_tpu.params import ShortintParams
 from tfhe_tpu.rng import FheRng
 from tfhe_tpu.torus import decode, encode

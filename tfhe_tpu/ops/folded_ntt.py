@@ -444,6 +444,29 @@ class FoldedCrtEngine:
             outs.append(_condsub(x[..., i, :] + y[..., i, :], ntt.ctx.two_p))
         return jnp.stack(outs, axis=-2)
 
+    def condsub_domain(self, x: jax.Array) -> jax.Array:
+        """One conditional subtract of 2p per prime: [0, 4p) -> [0, 2p)."""
+        outs = []
+        for i, ntt in enumerate(self.ntts):
+            outs.append(_condsub(x[..., i, :], ntt.ctx.two_p))
+        return jnp.stack(outs, axis=-2)
+
+    def reduce_u64_domain(
+        self, s: jax.Array, canonical: bool = False
+    ) -> jax.Array:
+        """Reduce unreduced u64 accumulations (sums of [0, 2p) products)
+        back to residues: (..., P, N) u64 -> u32 in [0, 2p), or [0, p)
+        with canonical=True. u32 Shoup on the (lo, hi) planes."""
+        lo = (s & U64(0xFFFFFFFF)).astype(U32)
+        hi = (s >> U64(32)).astype(U32)
+        outs = []
+        for i, ntt in enumerate(self.ntts):
+            r = ntt.ctx.reduce_u64_pair(lo[..., i, :], hi[..., i, :])
+            if canonical:
+                r = _condsub(r, ntt.ctx.pu)
+            outs.append(r)
+        return jnp.stack(outs, axis=-2)
+
     # -- inverse + CRT ----------------------------------------------------------
 
     def crt_reconstruct(self, r: list) -> jax.Array:
