@@ -22,6 +22,11 @@ WASM_REFERENCE_PBS_PER_S = 30.0
 
 def main():
     import jax
+
+    # persistent compile cache: keygen/PBS programs are identical across
+    # runs; caching cuts the multi-minute remote-tunnel compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -30,15 +30,23 @@ class GlweLinearLayerExecutor:
     n_bits_in: int = 8
     n_bits_w: int = 8
     params: MatmulParams | None = None
+    exact_int_weights: bool = False  # weights already small ints: scale 1
     _pkey: object = None
 
     def __post_init__(self):
         if self.params is None:
             self.params = gm.default_params()
-        self.w_quant = UniformQuantizer(self.n_bits_w, is_signed=True).fit(self.weights)
-        # symmetric weights (zero_point forced to 0) keep the encrypted
-        # accumulation free of weight offsets
-        self.w_quant.zero_point = np.float64(0.0)
+        self.w_quant = UniformQuantizer(self.n_bits_w, is_signed=True)
+        if self.exact_int_weights:
+            # 0/±1 selector matrices (tree lowering) and pre-quantized
+            # integer weights must not be rescaled
+            self.w_quant.scale = np.float64(1.0)
+            self.w_quant.zero_point = np.float64(0.0)
+        else:
+            self.w_quant.fit(self.weights)
+            # symmetric weights (zero_point forced to 0) keep the encrypted
+            # accumulation free of weight offsets
+            self.w_quant.zero_point = np.float64(0.0)
         self.w_q = self.w_quant.quant(self.weights)
 
     def keygen(self, seed: int = 0):

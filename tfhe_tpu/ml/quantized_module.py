@@ -1,0 +1,346 @@
+"""Quantized op graph executor: the FHE inference representation.
+
+TPU-native analog of the reference's quantized module stack (reference:
+ml/concrete-ml/src/concrete/ml/quantization/quantized_module.py
+QuantizedModule, quantized_ops.py 54 op classes, post_training.py
+calibration): a torch/onnx network is lowered to a sequence of
+QuantizedOps over integer tensors; linear ops (Gemm/Conv/MatMul) run on
+the encrypted GLWE matmul engine, elementwise nonlinearities become
+table lookups (TLUs) applied between linear segments.
+
+Execution modes (ml/common.FheMode, reference common/utils.py:64-104):
+  DISABLE  - pure integer pipeline, no crypto (bit-faithful to EXECUTE
+             up to ciphertext noise)
+  SIMULATE - integer pipeline + analytic noise injection
+  EXECUTE  - linear segments encrypted under the GLWE matmul engine;
+             TLUs are applied by the CLIENT between segments (the hybrid
+             split of torch/hybrid_model.py): ciphertexts are decrypted,
+             re-quantized, and the next segment re-encrypts. A fully
+             server-side TLU via programmable bootstrapping is available
+             through tfhe_tpu.models.shortint for <= 4-bit tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+
+from tfhe_tpu.ml.common import FheMode
+from tfhe_tpu.ml.linear import GlweLinearLayerExecutor
+from tfhe_tpu.ml.quantization import UniformQuantizer
+
+
+# -- quantized ops -----------------------------------------------------------
+
+
+class QuantizedOp:
+    """Base: operates on float-dequantized semantics internally; the
+    integer view is materialized at linear-op boundaries (the reference's
+    'fuse ops into TLUs between linear layers' strategy,
+    quantized_module_passes.py)."""
+
+    def calibrate(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def forward(self, x: np.ndarray, fhe: FheMode) -> np.ndarray:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class QuantizedGemm(QuantizedOp):
+    """x @ W + b on the encrypted GLWE matmul engine (reference
+    quantized_ops.py QuantizedGemm -> linear_op_glwe_backend)."""
+
+    weights: np.ndarray
+    bias: np.ndarray | None
+    n_bits: int = 8
+    _exec: GlweLinearLayerExecutor | None = None
+
+    def __post_init__(self):
+        self._exec = GlweLinearLayerExecutor(
+            weights=self.weights,
+            bias=self.bias,
+            n_bits_in=self.n_bits,
+            n_bits_w=self.n_bits,
+        )
+
+    def keygen(self, seed: int):
+        self._exec.keygen(seed)
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        b = x.shape[:-1]
+        out = self._exec.forward(x.reshape(-1, x.shape[-1]), fhe=fhe)
+        return out.reshape(*b, -1)
+
+
+@dataclasses.dataclass
+class QuantizedConv(QuantizedOp):
+    """2-D convolution lowered to im2col + Gemm: the MXU-native form (the
+    reference lowers Conv to the same integer matmul semantics,
+    quantized_ops.py QuantizedConv)."""
+
+    weights: np.ndarray  # (O, I, kh, kw)
+    bias: np.ndarray | None
+    stride: tuple = (1, 1)
+    padding: tuple = (0, 0)
+    n_bits: int = 8
+    _exec: GlweLinearLayerExecutor | None = None
+
+    def __post_init__(self):
+        o, i, kh, kw = self.weights.shape
+        wmat = self.weights.reshape(o, i * kh * kw).T  # (I*kh*kw, O)
+        self._exec = GlweLinearLayerExecutor(
+            weights=wmat,
+            bias=self.bias,
+            n_bits_in=self.n_bits,
+            n_bits_w=self.n_bits,
+        )
+
+    def keygen(self, seed: int):
+        self._exec.keygen(seed)
+
+    def _im2col(self, x):
+        b, c, h, w = x.shape
+        _, _, kh, kw = self.weights.shape
+        sh, sw = self.stride
+        ph, pw = self.padding
+        xp = np.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+        oh = (h + 2 * ph - kh) // sh + 1
+        ow = (w + 2 * pw - kw) // sw + 1
+        cols = np.empty((b, oh * ow, c * kh * kw), dtype=x.dtype)
+        idx = 0
+        for yy in range(oh):
+            for xx in range(ow):
+                patch = xp[:, :, yy * sh : yy * sh + kh, xx * sw : xx * sw + kw]
+                cols[:, idx, :] = patch.reshape(b, -1)
+                idx += 1
+        return cols, oh, ow
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        b = x.shape[0]
+        cols, oh, ow = self._im2col(np.asarray(x, np.float64))
+        out = self._exec.forward(cols.reshape(b * oh * ow, -1), fhe=fhe)
+        o = out.shape[-1]
+        return out.reshape(b, oh, ow, o).transpose(0, 3, 1, 2)
+
+
+@dataclasses.dataclass
+class QuantizedTLU(QuantizedOp):
+    """Elementwise nonlinearity as an n_bits-wide table lookup (the
+    reference fuses all elementwise ops between linear layers into one
+    TLU; quantized_module_passes.py)."""
+
+    fn: Callable[[np.ndarray], np.ndarray]
+    name: str = "tlu"
+    n_bits: int = 8
+    _q: UniformQuantizer | None = None
+
+    def calibrate(self, x):
+        self._q = UniformQuantizer(self.n_bits, is_signed=True).fit(x)
+        return self.fn(x)
+
+    def forward(self, x, fhe):
+        if self._q is None or fhe == FheMode.DISABLE:
+            return self.fn(x)
+        # quantize -> table -> dequantize: exactly what the PBS evaluates
+        xq = self._q.quant(x)
+        levels = np.arange(self._q.qmin, self._q.qmax + 1)
+        table = self.fn(self._q.dequant(levels))
+        return table[(xq - self._q.qmin).astype(np.int64)]
+
+
+@dataclasses.dataclass
+class QuantizedAvgPool(QuantizedOp):
+    kernel: tuple = (2, 2)
+    stride: tuple | None = None
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        kh, kw = self.kernel
+        sh, sw = self.stride or self.kernel
+        b, c, h, w = x.shape
+        oh = (h - kh) // sh + 1
+        ow = (w - kw) // sw + 1
+        out = np.zeros((b, c, oh, ow), dtype=np.float64)
+        for yy in range(oh):
+            for xx in range(ow):
+                out[:, :, yy, xx] = x[
+                    :, :, yy * sh : yy * sh + kh, xx * sw : xx * sw + kw
+                ].mean(axis=(2, 3))
+        return out
+
+
+@dataclasses.dataclass
+class QuantizedFlatten(QuantizedOp):
+    def calibrate(self, x):
+        return x.reshape(x.shape[0], -1)
+
+    def forward(self, x, fhe):
+        return x.reshape(x.shape[0], -1)
+
+
+# -- module ------------------------------------------------------------------
+
+
+class QuantizedModule:
+    """Ordered quantized op pipeline with input/output quantizers
+    (reference quantized_module.py QuantizedModule: quantize_input :
+    forward : dequantize_output)."""
+
+    def __init__(self, ops: Sequence[QuantizedOp], n_bits: int = 8):
+        self.ops = list(ops)
+        self.n_bits = n_bits
+        self.input_quantizer: UniformQuantizer | None = None
+        self._compiled = False
+
+    def calibrate(self, x_cal: np.ndarray):
+        x = np.asarray(x_cal, np.float64)
+        self.input_quantizer = UniformQuantizer(self.n_bits, is_signed=True).fit(x)
+        for op in self.ops:
+            x = op.calibrate(x)
+        return self
+
+    def compile(self, seed: int = 0):
+        """Generate FHE keys for every encrypted linear op (the
+        reference's circuit-compile step)."""
+        for i, op in enumerate(self.ops):
+            if hasattr(op, "keygen"):
+                op.keygen(seed + i)
+        self._compiled = True
+        return self
+
+    def quantize_input(self, x):
+        return self.input_quantizer.quant(np.asarray(x, np.float64))
+
+    def dequantize_input(self, xq):
+        return self.input_quantizer.dequant(xq)
+
+    def forward(self, x, fhe: FheMode | str = FheMode.DISABLE) -> np.ndarray:
+        fhe = FheMode.from_any(fhe)
+        if fhe == FheMode.EXECUTE:
+            assert self._compiled, "compile() before fhe='execute'"
+        # input quantization round-trip: the deployed pipeline only ever
+        # sees quantized inputs
+        x = self.dequantize_input(self.quantize_input(x))
+        for op in self.ops:
+            x = op.forward(np.asarray(x, np.float64), fhe)
+        return x
+
+    __call__ = forward
+
+
+# -- torch frontend ------------------------------------------------------------
+
+
+_TORCH_TLUS = {
+    "ReLU": lambda x: np.maximum(x, 0.0),
+    "ReLU6": lambda x: np.clip(x, 0.0, 6.0),
+    "Sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
+    "Tanh": np.tanh,
+    "GELU": lambda x: 0.5 * x * (1.0 + np.tanh(0.7978845608 * (x + 0.044715 * x**3))),
+    "SiLU": lambda x: x / (1.0 + np.exp(-x)),
+    "ELU": lambda x: np.where(x > 0, x, np.exp(np.minimum(x, 0.0)) - 1.0),
+    "Softplus": lambda x: np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0.0),
+    "Hardtanh": lambda x: np.clip(x, -1.0, 1.0),
+    "LeakyReLU": lambda x: np.where(x > 0, x, 0.01 * x),
+}
+
+
+def _lower_torch_module(module, n_bits: int) -> list:
+    """Flatten a torch module into QuantizedOps (reference
+    torch/compile.py builds the same op sequence via ONNX export; torch
+    module traversal avoids the onnx dependency, which is not vendored)."""
+    import torch.nn as nn
+
+    ops: list[QuantizedOp] = []
+
+    def visit(m):
+        cls = type(m).__name__
+        if isinstance(m, nn.Sequential):
+            for ch in m:
+                visit(ch)
+        elif isinstance(m, nn.Linear):
+            w = m.weight.detach().numpy().T  # (in, out)
+            b = m.bias.detach().numpy() if m.bias is not None else None
+            ops.append(QuantizedGemm(weights=w, bias=b, n_bits=n_bits))
+        elif isinstance(m, nn.Conv2d):
+            assert m.groups == 1, "grouped conv not supported"
+            ops.append(
+                QuantizedConv(
+                    weights=m.weight.detach().numpy(),
+                    bias=m.bias.detach().numpy() if m.bias is not None else None,
+                    stride=tuple(m.stride),
+                    padding=tuple(m.padding),
+                    n_bits=n_bits,
+                )
+            )
+        elif isinstance(m, nn.AvgPool2d):
+            k = (m.kernel_size,) * 2 if isinstance(m.kernel_size, int) else tuple(m.kernel_size)
+            s = None if m.stride is None else ((m.stride,) * 2 if isinstance(m.stride, int) else tuple(m.stride))
+            ops.append(QuantizedAvgPool(kernel=k, stride=s))
+        elif isinstance(m, nn.Flatten):
+            ops.append(QuantizedFlatten())
+        elif cls in _TORCH_TLUS:
+            ops.append(QuantizedTLU(fn=_TORCH_TLUS[cls], name=cls, n_bits=n_bits))
+        elif isinstance(m, (nn.Dropout, nn.Identity)):
+            pass  # inference no-ops
+        else:
+            children = list(m.children())
+            if not children:
+                raise NotImplementedError(f"unsupported torch layer: {cls}")
+            for ch in children:
+                visit(ch)
+
+    visit(module)
+    return ops
+
+
+def compile_torch_model(
+    model,
+    torch_inputset,
+    n_bits: int = 8,
+    rounding_threshold_bits=None,
+    **_ignored,
+) -> QuantizedModule:
+    """Post-training-quantize a torch model for FHE inference (reference:
+    ml/concrete-ml/src/concrete/ml/torch/compile.py:282
+    compile_torch_model). Returns a calibrated QuantizedModule; call
+    .compile() to generate keys, then .forward(x, fhe='execute')."""
+    import torch
+
+    model = model.eval()
+    if isinstance(torch_inputset, torch.Tensor):
+        cal = torch_inputset.detach().numpy()
+    else:
+        cal = np.asarray(torch_inputset, np.float64)
+    ops = _lower_torch_module(model, n_bits)
+    qm = QuantizedModule(ops, n_bits=n_bits)
+    qm.calibrate(cal.astype(np.float64))
+    return qm
+
+
+def compile_onnx_model(onnx_model, inputset, n_bits: int = 8, **kw):
+    """Reference torch/compile.py:369. The onnx package is not vendored
+    in this environment; the torch path covers the same model families."""
+    raise NotImplementedError(
+        "onnx is not available in this build; use compile_torch_model"
+    )
+
+
+def compile_brevitas_qat_model(model, inputset, n_bits: int = 8, **kw):
+    """Reference torch/compile.py:452 (QAT import). brevitas is not
+    vendored; post-training quantization via compile_torch_model covers
+    inference parity."""
+    raise NotImplementedError(
+        "brevitas is not available in this build; use compile_torch_model"
+    )

@@ -88,17 +88,37 @@ class Ciphertext:
         return self.ct.shape[:-1]
 
 
-def keygen(params: ShortintParams, seed: int = 0) -> tuple[ClientKey, ServerKey]:
-    rng = FheRng(seed)
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _keygen_program(params: ShortintParams):
+    """One jitted program for the whole keygen: eager keygen paid the
+    ~37 ms dispatch floor per op plus one device compile per engine
+    method/shape (PERF_NOTES.md); fused it is a single compile."""
     engine = get_engine(params.polynomial_size)
-    glwe_sk = gen_glwe_secret_key(rng, params.glwe_dimension, params.polynomial_size)
-    small_sk = gen_lwe_secret_key(rng, params.lwe_dimension)
-    big_sk = glwe_to_lwe_secret_key(glwe_sk)
-    bsk = gen_bootstrap_key(small_sk, glwe_sk, params.pbs, rng, params.glwe_noise, engine)
-    ksk = gen_keyswitch_key(big_sk, small_sk, params.ks, rng, params.lwe_noise)
-    ck = ClientKey(glwe_key=glwe_sk, lwe_key=small_sk, params=params)
-    sk = ServerKey(bsk=bsk, ksk=ksk, params=params)
-    return ck, sk
+
+    @jax.jit
+    def go(key):
+        rng = FheRng(key)
+        glwe_sk = gen_glwe_secret_key(
+            rng, params.glwe_dimension, params.polynomial_size
+        )
+        small_sk = gen_lwe_secret_key(rng, params.lwe_dimension)
+        big_sk = glwe_to_lwe_secret_key(glwe_sk)
+        bsk = gen_bootstrap_key(
+            small_sk, glwe_sk, params.pbs, rng, params.glwe_noise, engine
+        )
+        ksk = gen_keyswitch_key(big_sk, small_sk, params.ks, rng, params.lwe_noise)
+        ck = ClientKey(glwe_key=glwe_sk, lwe_key=small_sk, params=params)
+        sk = ServerKey(bsk=bsk, ksk=ksk, params=params)
+        return ck, sk
+
+    return go
+
+
+def keygen(params: ShortintParams, seed: int = 0) -> tuple[ClientKey, ServerKey]:
+    return _keygen_program(params)(jax.random.key(seed))
 
 
 def engine_for(params: ShortintParams) -> NegacyclicEngine:

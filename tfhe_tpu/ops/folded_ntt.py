@@ -60,46 +60,56 @@ FOLDED_PRIMES = (469762049, 754974721, 998244353)
 # ---------------------------------------------------------------------------
 
 
+_NP0 = np.uint32(0)
+_NP16 = np.uint32(16)
+_NPFFFF = np.uint32(0xFFFF)
+
+
 def _mulhi_u32(a: jax.Array, b) -> jax.Array:
-    """High 32 bits of the 64-bit product of u32 operands (u32 ops only)."""
-    a0 = a & U32(0xFFFF)
-    a1 = a >> U32(16)
-    b = jnp.asarray(b, dtype=U32)
-    b0 = b & U32(0xFFFF)
-    b1 = b >> U32(16)
+    """High 32 bits of the 64-bit product of u32 operands (u32 ops only).
+
+    Scalar constants are numpy scalars (trace-time literals), so this is
+    safe inside Pallas kernels (no captured device constants)."""
+    a0 = a & _NPFFFF
+    a1 = a >> _NP16
+    b0 = b & _NPFFFF
+    b1 = b >> _NP16
     ll = a0 * b0
     lh = a0 * b1
     hl = a1 * b0
-    t = (ll >> U32(16)) + (lh & U32(0xFFFF)) + (hl & U32(0xFFFF))
-    return a1 * b1 + (lh >> U32(16)) + (hl >> U32(16)) + (t >> U32(16))
+    t = (ll >> _NP16) + (lh & _NPFFFF) + (hl & _NPFFFF)
+    return a1 * b1 + (lh >> _NP16) + (hl >> _NP16) + (t >> _NP16)
 
 
 def shoup_mulmod(a: jax.Array, w, w_shoup, p) -> jax.Array:
     """a * w mod p for ANY u32 a, fixed w < p with w_shoup = floor(w*2^32/p).
 
     Returns a lazy residue in [0, 2p). ~20 u32 VPU ops; the u64 equivalent
-    XLA emits for `(a*w) % p` costs ~100x more (PERF_NOTES.md).
-    """
+    XLA emits for `(a*w) % p` costs ~100x more (PERF_NOTES.md)."""
     q = _mulhi_u32(a, w_shoup)
-    return a * jnp.asarray(w, U32) - q * jnp.asarray(p, U32)
+    return a * w - q * p
 
 
 def _condsub(x: jax.Array, m) -> jax.Array:
-    m = jnp.asarray(m, U32)
-    return x - jnp.where(x >= m, m, U32(0))
+    return x - jnp.where(x >= m, m, _NP0)
 
 
 class _PrimeCtx:
-    """Per-prime constants for Shoup/Barrett arithmetic."""
+    """Per-prime constants for Shoup/Barrett arithmetic (numpy scalars:
+    they embed as literals inside jit AND Pallas kernels)."""
 
     def __init__(self, p: int):
         self.p = p
-        self.pu = U32(p)
-        self.two_p = U32(2 * p)
+        self.pu = np.uint32(p)
+        self.two_p = np.uint32(2 * p)
 
         def pair(w: int):
             w %= p
-            return (U32(w), U32((w << 32) // p), U32((1 << 32) * w % p))
+            return (
+                np.uint32(w),
+                np.uint32((w << 32) // p),
+                np.uint32((1 << 32) * w % p),
+            )
 
         # (w, w_shoup, neg-correction 2^32*w mod p)
         self.one = pair(1)  # Barrett reduction of a < 2^32
@@ -112,7 +122,7 @@ class _PrimeCtx:
         w, ws, corr = c
         a = t.astype(U32)  # two's complement: represents t + 2^32*[t<0]
         r = shoup_mulmod(a, w, ws, self.pu)
-        fix = jnp.where(t < 0, self.two_p - corr, U32(0))
+        fix = jnp.where(t < 0, np.uint32(self.two_p - corr), _NP0)
         return _condsub(r + fix, self.two_p)
 
     def reduce_u64_pair(self, lo: jax.Array, hi: jax.Array) -> jax.Array:
@@ -130,17 +140,23 @@ def _limb_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
-def _split4_signed_i32(x: jax.Array) -> jax.Array:
-    """Balanced base-256 digit split: i32 (|x| < 2^31) -> (..., 4) limb
-    digits with |d| <= 128 and sum(d_k * 256^k) == x exactly."""
+def _split_signed_i32(x: jax.Array, nplanes: int = 4) -> jax.Array:
+    """Balanced base-256 digit split: i32 -> (..., nplanes) limb digits
+    with |d| <= 128 and sum(d_k * 256^k) == x exactly. nplanes=4 covers
+    |x| < 2^31; nplanes=3 covers |x| <= 2^23 (gadget digits)."""
     ds = []
     v = x
-    for _ in range(3):
-        d = ((v + I32(128)) & I32(255)) - I32(128)
+    h, m8, s8 = np.int32(128), np.int32(255), np.int32(8)
+    for _ in range(nplanes - 1):
+        d = ((v + h) & m8) - h
         ds.append(d)
-        v = (v - d) >> I32(8)  # exact: v - d is a multiple of 256
+        v = (v - d) >> s8  # exact: v - d is a multiple of 256
     ds.append(v)
     return jnp.stack(ds, axis=-1).astype(_limb_dtype())
+
+
+def _split4_signed_i32(x: jax.Array) -> jax.Array:
+    return _split_signed_i32(x, 4)
 
 
 def _balanced_digits_host(m: np.ndarray, p: int) -> np.ndarray:
@@ -164,12 +180,16 @@ def _balanced_digits_host(m: np.ndarray, p: int) -> np.ndarray:
 
 
 def _factor(n: int) -> tuple[int, int]:
-    """N = R*C, both powers of two, R >= C, as square as possible."""
+    """N = R*C, both powers of two. R = 128 where possible: the dominant
+    stage-2 matmul then contracts a full 128-wide MXU tile AND the lane
+    dim of every in-kernel view stays a 128-multiple (Mosaic requires it;
+    see ops/pallas_ntt.py). Small test sizes fall back to near-square."""
+    if n >= 256:
+        return 128, n // 128
     r = 1
     while r * r < n:
         r *= 2
-    c = n // r
-    return r, c
+    return r, n // r
 
 
 class FoldedNtt:
@@ -184,7 +204,11 @@ class FoldedNtt:
         self.ctx = _PrimeCtx(p)
         r, c = _factor(n)
         self.r_dim, self.c_dim = r, c
-        assert 128 * 128 * max(r, c) < 2**24, "f32 accumulation exactness"
+        # f32 accumulation exactness needs 128*128*K < 2^24 (K <= 1024);
+        # the recombination's i32 headroom needs K <= 128 (big-K variant)
+        assert max(r, c) <= 128, f"N={n} too large for the digit scheme"
+        self._big_r = r > 64
+        self._big_c = c > 64
 
         g = _primitive_root(p)
         psi = pow(g, (p - 1) // (2 * n), p)
@@ -244,30 +268,53 @@ class FoldedNtt:
 
     # -- digit-block recombination ------------------------------------------
 
-    def _recombine(self, blocks: jax.Array) -> jax.Array:
-        """blocks: (..., 4a, D1, D2, 4b) f32 exact ints (|.| <= 2^20);
-        returns (..., D1, D2) u32 in [0, 2p) congruent to
-        sum_{a,b} blocks * 256^(a+b)."""
+    def _recombine(self, blocks: jax.Array, big: bool = False) -> jax.Array:
+        """blocks: (..., 4a, D1, D2, 4b) f32/i32 exact digit-pair dot
+        products; returns (..., D1, D2) u32 in [0, 2p) congruent to
+        sum_{a,b} blocks * 256^(a+b).
+
+        big=False: contraction K <= 64 (|block| <= 2^20): weight classes
+        pair-combine into 2^16 limbs -> 4 Shoup reductions.
+        big=True: K <= 128 (|block| <= 2^21): with nb=4 input planes S_3
+        (four blocks) would overflow i32 when shifted, so it reduces in
+        two halves (5 Shoup reductions); with nb=3 planes every class has
+        <= 3 blocks and pair-combining is safe (3 reductions)."""
         b = blocks.astype(I32)
-        # weight classes S_k = sum_{a+b=k}, then pair-combine to 2^16 limbs
-        s = [None] * 7
+        nb = blocks.shape[-1]
+        blk = lambda a, bb: b[..., a, :, :, bb]
+        split3 = big and nb == 4
+        s = [None] * (3 + nb)
         for a in range(4):
-            for bb in range(4):
+            for bb in range(nb):
+                if split3 and a + bb == 3:
+                    continue
                 k = a + bb
-                blk = b[..., a, :, :, bb]
-                s[k] = blk if s[k] is None else s[k] + blk
-        t0 = s[0] + (s[1] << I32(8))  # |.| <= 2^22 + 2^30 < 2^31
-        t1 = s[2] + (s[3] << I32(8))
-        t2 = s[4] + (s[5] << I32(8))
-        t3 = s[6]
+                s[k] = blk(a, bb) if s[k] is None else s[k] + blk(a, bb)
         ctx = self.ctx
-        r0 = ctx.reduce_signed(t0, ctx.one)
-        r1 = ctx.reduce_signed(t1, ctx.c16)
-        r2 = ctx.reduce_signed(t2, ctx.c32)
-        r3 = ctx.reduce_signed(t3, ctx.c48)
-        s01 = _condsub(r0 + r1, ctx.two_p)
-        s23 = _condsub(r2 + r3, ctx.two_p)
-        return _condsub(s01 + s23, ctx.two_p)
+        e8 = np.int32(8)
+        if split3:
+            s3a = blk(0, 3) + blk(1, 2)  # <= 2^22 each half
+            s3b = blk(2, 1) + blk(3, 0)
+            s[3] = s3a
+            r1b = ctx.reduce_signed(s3b << e8, ctx.c16)
+        else:
+            r1b = None
+        while len(s) < 8:
+            s.append(None)
+        consts = (ctx.one, ctx.c16, ctx.c32, ctx.c48)
+        out = None
+        for j in range(4):
+            lo, hi = s[2 * j], s[2 * j + 1]
+            if lo is None and hi is None:
+                continue
+            t = lo if hi is None else (
+                (hi << e8) if lo is None else lo + (hi << e8)
+            )
+            r = ctx.reduce_signed(t, consts[j])
+            out = r if out is None else _condsub(out + r, ctx.two_p)
+        if r1b is not None:
+            out = _condsub(out + r1b, ctx.two_p)
+        return out
 
     # -- transforms -----------------------------------------------------------
 
@@ -281,7 +328,7 @@ class FoldedNtt:
             xl,
             preferred_element_type=jnp.float32,
         )  # (..., 4a, C_t, R_r, 4b)
-        y = self._recombine(y)  # (..., C, R) u32 in [0, 2p)
+        y = self._recombine(y, big=self._big_c)  # (..., C, R) in [0, 2p)
         yl = _split4_signed_i32(y.astype(I32))  # (..., C, R, 4)
         z = jnp.einsum(
             "tsra,...trb->...atsb",
@@ -289,7 +336,7 @@ class FoldedNtt:
             yl,
             preferred_element_type=jnp.float32,
         )  # (..., 4a, C_t, R_s, 4b)
-        out = self._recombine(z)  # (..., C_t, R_s)
+        out = self._recombine(z, big=self._big_r)  # (..., C_t, R_s)
         return out.reshape(*out.shape[:-2], self.n)
 
     def forward_signed(self, x: jax.Array) -> jax.Array:
@@ -308,7 +355,7 @@ class FoldedNtt:
             fl,
             preferred_element_type=jnp.float32,
         )  # (..., 4a, C_t, R_r, 4b)
-        u = self._recombine(u)  # (..., C_t, R_r) in [0, 2p)
+        u = self._recombine(u, big=self._big_r)  # (..., C_t, R_r)
         ul = _split4_signed_i32(u.astype(I32))
         a = jnp.einsum(
             "cta,...trb->...acrb",
@@ -316,7 +363,7 @@ class FoldedNtt:
             ul,
             preferred_element_type=jnp.float32,
         )  # (..., 4a, C_c, R_r, 4b)
-        a = self._recombine(a)  # (..., C, R) in [0, 2p)
+        a = self._recombine(a, big=self._big_c)  # (..., C, R)
         a = _condsub(a, self.ctx.pu)  # canonical [0, p)
         return a.reshape(*a.shape[:-2], self.n)
 
@@ -357,6 +404,17 @@ class FoldedCrtEngine:
         self._h3 = U32(half // (p1 * p2))
         self._h2 = U32(half % (p1 * p2) // p1)
         self._h1 = U32(half % p1)
+        # Fused Pallas kernels carry the PBS hot path on TPU (forward of
+        # gadget digits + inverse): they keep the 16x digit-block f32
+        # intermediates in VMEM, where the XLA path is HBM-bound on them.
+        self.use_pallas = jax.default_backend() == "tpu"
+        self._pallas_fwd = None
+        self._pallas_inv = None
+        if self.use_pallas:
+            from tfhe_tpu.ops.pallas_ntt import make_pallas_ntt
+
+            # nb=3 digit planes: matches forward_small's |a| <= 2^23 contract
+            self._pallas_fwd, self._pallas_inv = make_pallas_ntt(self, nb=3)
         self.forward_small = jax.jit(self.forward_small)
         self.forward_u64 = jax.jit(self.forward_u64)
         self.backward = jax.jit(self.backward, static_argnames=("shift",))
@@ -369,15 +427,19 @@ class FoldedCrtEngine:
     # -- forward --------------------------------------------------------------
 
     def forward_small(self, a: jax.Array) -> jax.Array:
-        """Small signed polynomials (|a| < 2^31; gadget digits, secrets,
-        clear weights): (..., N) int -> (..., P, N) u32 in [0, 2p_i).
-        The balanced digit split is shared across primes."""
+        """Small signed polynomials (|a| <= 2^23: gadget digits for
+        base_log <= 24, secrets, quantized weights): (..., N) int ->
+        (..., P, N) u32 in [0, 2p_i). Three digit planes suffice at this
+        magnitude (25% less stage work than the generic 4-plane path);
+        the split is shared across primes."""
         if a.dtype in (jnp.uint64, jnp.int64):
             a = a.astype(jnp.int64).astype(I32)
         else:
             a = a.astype(I32)
+        if self._pallas_fwd is not None:
+            return self._pallas_fwd(a)
         am = a.reshape(*a.shape[:-1], self.ntts[0].c_dim, self.ntts[0].r_dim)
-        planes = _split4_signed_i32(am)
+        planes = _split_signed_i32(am, 3)
         return jnp.stack(
             [ntt.forward_planes(planes) for ntt in self.ntts], axis=-2
         )
@@ -496,7 +558,11 @@ class FoldedCrtEngine:
 
     def backward(self, f: jax.Array, shift: int = 0) -> jax.Array:
         """(..., P, N) u32 (values < 2^31) -> (..., N) u64 coefficients."""
-        r = [ntt.inverse(f[..., i, :]) for i, ntt in enumerate(self.ntts)]
+        if self._pallas_inv is not None:
+            res = self._pallas_inv(f)
+            r = [res[..., i, :] for i in range(3)]
+        else:
+            r = [ntt.inverse(f[..., i, :]) for i, ntt in enumerate(self.ntts)]
         x = self.crt_reconstruct(r)
         if shift:
             x = x << U64(shift)

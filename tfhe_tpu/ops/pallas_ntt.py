@@ -5,49 +5,51 @@ Fuses each direction of the 3-prime folded four-step NTT
 intermediates never touch HBM — on the measured chip profile
 (PERF_NOTES.md) the XLA path is HBM-bound on exactly those tensors.
 
-Math identical to FoldedNtt, with the per-output-batch twiddles pulled
-out of the batched stage-2 matrices so both DFT stages are single
-*shared* MXU matmuls plus one elementwise Shoup multiply:
+Math identical to FoldedNtt with the per-output-batch twiddles pulled out
+of the batched stage-2 matrices, so both DFT stages are single *shared*
+MXU matmuls plus one elementwise Shoup multiply (G = (w^t psi)^r):
 
-    forward:  y[t,r]  = sum_c V[t,c] * x[r + R*c]       (shared matmul)
-              y'[t,r] = y[t,r] * G[t,r]                  (Shoup; G=(w^t psi)^r)
+    forward:  y[t,r]  = sum_c V[t,c] * x[r + R*c]        (shared matmul)
+              y'[t,r] = y[t,r] * G[t,r]                  (u32 Shoup)
               out[t*R+s] = sum_r W_R[s,r] * y'[t,r]      (shared matmul)
-    inverse:  U[t,r]  = Gi[t,r] * sum_s Wi_R[r,s] f[t*R+s]   (Gi=(w^-t psi^-1)^r / N)
+    inverse:  U[t,r]  = Gi[t,r] * sum_s Wi[r,s] f[t*R+s]
               a[r+R*c] = sum_t Vi[c,t] * U[t,r]
 
-Matrix entries ride as balanced base-256 digit limbs (|d| <= 128, exact
-bf16 / f32-accumulated); between-stage values recombine mod p in u32
-Shoup arithmetic inside VMEM. The kernel reproduces FoldedNtt's output
-layout (h = t*R + s) bit-for-bit, so keys prepared by the XLA engine are
-directly consumable.
+Layout rules (probed on this Mosaic toolchain, scripts/probe_mosaic):
+every reshape keeps the minor dim a 128-multiple, no strided lane
+slices; with R = 128 (ops/folded_ntt._factor) the coefficient
+lane-split (TM, N) -> (TM, C, 128) is free, the dominant matmul
+contracts a full 128 MXU tile, and the stage-2 block views have
+minor >= C*TM >= 128. Digit-pair products recombine mod p in u32 Shoup
+arithmetic inside VMEM (big-K variant for the K=128 contraction).
 
-Replaces what the reference delegates to tfhe-rs' f64 FFT
-(ml/extensions/rust/src/compression.rs:6 fft_impl import); this is the
-framework's hottest kernel (every PBS step runs 12 of these transforms).
+The kernels reproduce FoldedNtt's output layout (h = t*R + s) exactly
+mod p, so Shoup key material prepared by the XLA engine is directly
+consumable. Replaces what the reference delegates to tfhe-rs' f64 FFT
+(ml/extensions/rust/src/compression.rs:6 fft_impl); this is the
+framework's hottest kernel (every PBS step runs 12 such transforms).
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
     _balanced_digits_host,
     _condsub,
     _limb_dtype,
-    _split4_signed_i32,
     shoup_mulmod,
 )
 from tfhe_tpu.ops.polynomial import _primitive_root
 
 U32 = jnp.uint32
 I32 = jnp.int32
+# index-map constants: np.int32 so Mosaic sees i32 under jax x64 mode
+_Z = np.int32(0)
 
 
 def _stack_digits(m: np.ndarray, p: int) -> np.ndarray:
@@ -58,8 +60,7 @@ def _stack_digits(m: np.ndarray, p: int) -> np.ndarray:
 
 
 class PallasNttTables:
-    """Per-engine constant tables for the fused kernels (stacked over the
-    3 primes on a leading axis)."""
+    """Per-engine constant tables, stacked over the 3 primes."""
 
     def __init__(self, engine: FoldedCrtEngine):
         self.engine = engine
@@ -81,34 +82,28 @@ class PallasNttTables:
             om_r_inv = pow(om_r, p - 2, p)
             om_c_inv = pow(om_c, p - 2, p)
             n_inv = pow(n, p - 2, p)
-            # forward stage 1: V[t, c] = w_C^{ct} * psi^{R c}  (== FoldedNtt)
             v = np.empty((c_dim, c_dim), dtype=np.uint64)
             for t in range(c_dim):
                 for c in range(c_dim):
                     v[t, c] = pow(om_c, c * t, p) * pow(psi, r_dim * c, p) % p
-            # forward stage 2 shared matrix: W_R[s, r] = w_R^{rs}
             wr = np.empty((r_dim, r_dim), dtype=np.uint64)
             for s in range(r_dim):
                 for r in range(r_dim):
                     wr[s, r] = pow(om_r, r * s, p)
-            # forward twiddle grid: G[t, r] = (w^t psi)^r
             gm = np.empty((c_dim, r_dim), dtype=np.uint64)
             for t in range(c_dim):
                 base = pow(omega, t, p) * psi % p
                 for r in range(r_dim):
                     gm[t, r] = pow(base, r, p)
-            # inverse stage 1 shared matrix: Wi[r, s] = w_R^{-rs}
             wi = np.empty((r_dim, r_dim), dtype=np.uint64)
             for r in range(r_dim):
                 for s in range(r_dim):
                     wi[r, s] = pow(om_r_inv, r * s, p)
-            # inverse twiddle grid: Gi[t, r] = (w^-t psi^-1)^r / N
             gim = np.empty((c_dim, r_dim), dtype=np.uint64)
             for t in range(c_dim):
                 base = pow(om_inv, t, p) * psi_inv % p
                 for r in range(r_dim):
                     gim[t, r] = pow(base, r, p) * n_inv % p
-            # inverse stage 2: Vi[c, t] = w_C^{-ct} * psi^{-R c}
             vi = np.empty((c_dim, c_dim), dtype=np.uint64)
             for c in range(c_dim):
                 fold = pow(psi_inv, r_dim * c, p)
@@ -118,10 +113,11 @@ class PallasNttTables:
             wrs.append(_stack_digits(wr, p))
             wis.append(_stack_digits(wi, p))
             vis.append(_stack_digits(vi, p))
+            sh = lambda x: ((x.astype(object) << 32) // p).astype(np.uint32)
             gs.append(gm.astype(np.uint32))
-            gss.append(((gm.astype(object) << 32) // p).astype(np.uint32))
+            gss.append(sh(gm))
             gis.append(gim.astype(np.uint32))
-            giss.append(((gim.astype(object) << 32) // p).astype(np.uint32))
+            giss.append(sh(gim))
         ld = _limb_dtype()
         self.v = jnp.asarray(np.stack(vs)).astype(ld)  # (3, 4C, C)
         self.wr = jnp.asarray(np.stack(wrs)).astype(ld)  # (3, 4R, R)
@@ -133,27 +129,54 @@ class PallasNttTables:
         self.gis = jnp.asarray(np.stack(giss))
 
 
-def _recombine_pallas(blocks, ctx):
-    """blocks: (4a, D1, D2, 4b) f32/i32 exact ints -> (D1, D2) u32 in
-    [0, 2p). Same math as FoldedNtt._recombine (single leading a-axis)."""
-    b = blocks.astype(I32)
-    s = [None] * 7
+def _split_list(x, nplanes=4):
+    """i32 -> balanced base-256 digit planes (i32, |d| <= 128).
+    nplanes=4 covers |x| < 2^31; nplanes=3 covers |x| <= 2^23."""
+    ds = []
+    v = x
+    h, m8, s8 = np.int32(128), np.int32(255), np.int32(8)
+    for _ in range(nplanes - 1):
+        d = ((v + h) & m8) - h
+        ds.append(d)
+        v = (v - d) >> s8
+    ds.append(v)
+    return ds
+
+
+def _recombine(blk, ctx, big, nb=4):
+    """blk(a, b) -> 2D i32 block slices; returns their weighted mod-p sum
+    (same math as FoldedNtt._recombine, incl. the big-K S_3 split for
+    nb=4; nb=3 plane inputs pair-combine safely at any K <= 128)."""
+    split3 = big and nb == 4
+    s = [None] * (3 + nb)
     for a in range(4):
-        for bb in range(4):
+        for bb in range(nb):
+            if split3 and a + bb == 3:
+                continue
             k = a + bb
-            blk = b[a, :, :, bb]
-            s[k] = blk if s[k] is None else s[k] + blk
-    t0 = s[0] + (s[1] << I32(8))
-    t1 = s[2] + (s[3] << I32(8))
-    t2 = s[4] + (s[5] << I32(8))
-    t3 = s[6]
-    r0 = ctx.reduce_signed(t0, ctx.one)
-    r1 = ctx.reduce_signed(t1, ctx.c16)
-    r2 = ctx.reduce_signed(t2, ctx.c32)
-    r3 = ctx.reduce_signed(t3, ctx.c48)
-    s01 = _condsub(r0 + r1, ctx.two_p)
-    s23 = _condsub(r2 + r3, ctx.two_p)
-    return _condsub(s01 + s23, ctx.two_p)
+            t = blk(a, bb)
+            s[k] = t if s[k] is None else s[k] + t
+    e8 = np.int32(8)
+    if split3:
+        s[3] = blk(0, 3) + blk(1, 2)
+        s3b = blk(2, 1) + blk(3, 0)
+        r1b = ctx.reduce_signed(s3b << e8, ctx.c16)
+    else:
+        r1b = None
+    while len(s) < 8:
+        s.append(None)
+    consts = (ctx.one, ctx.c16, ctx.c32, ctx.c48)
+    out = None
+    for j in range(4):
+        lo, hi = s[2 * j], s[2 * j + 1]
+        if lo is None and hi is None:
+            continue
+        t = lo if hi is None else ((hi << e8) if lo is None else lo + (hi << e8))
+        r = ctx.reduce_signed(t, consts[j])
+        out = r if out is None else _condsub(out + r, ctx.two_p)
+    if r1b is not None:
+        out = _condsub(out + r1b, ctx.two_p)
+    return out
 
 
 def _dot(lhs, rhs):
@@ -162,79 +185,82 @@ def _dot(lhs, rhs):
     )
 
 
-def make_pallas_ntt(engine: FoldedCrtEngine, tm: int = 16):
+def _dot_nt(lhs, rhs):
+    """lhs (M, K) @ rhs (N, K)^T: contraction on both minor dims."""
+    return jax.lax.dot_general(
+        lhs, rhs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4):
     """Build (forward, inverse) fused transforms for `engine`.
 
     forward(x): (..., N) i32 (|x| < 2^31) -> (..., P, N) u32 in [0, 2p)
     inverse(f): (..., P, N) u32 (< 2^31)  -> (..., P, N) u32 canonical
-    Both match FoldedNtt's forward_signed / per-prime inverse outputs
-    bit-for-bit (validated in tests/test_pallas_ntt.py).
+    Both match FoldedNtt mod p (tests/test_pallas_ntt.py).
     """
     tables = PallasNttTables(engine)
     n = engine.n
-    r_dim, c_dim = tables.r_dim, tables.c_dim
+    rd, cd = tables.r_dim, tables.c_dim
     ctxs = [ntt.ctx for ntt in engine.ntts]
+    big_r = rd > 64
+    big_c = cd > 64
+    if tm is None:
+        tm = max(16, 128 // cd)  # stage-2 block views need cd*tm % 128 == 0
+    ld = _limb_dtype()
 
     def fwd_kernel(x_ref, v_ref, wr_ref, g_ref, gs_ref, o_ref):
         x = x_ref[:]  # (TM, N) i32
-        xm = x.reshape(tm, c_dim, r_dim)  # lane split: i = r + R*c
-        planes = _split4_signed_i32(xm)  # (TM, C, R, 4)
-        # rhs for stage 1: (C, TM*4b*R)
-        rhs1 = jnp.transpose(planes, (1, 0, 3, 2)).reshape(c_dim, -1)
-        rhs1 = rhs1.astype(v_ref.dtype)
+        xm = x.reshape(tm, cd, rd)  # lane split: i = r + R*c (minor R=128)
+        ds = _split_list(xm, nb)  # nb x (TM, C, R)
+        rhs1 = jnp.stack(ds, axis=0)  # (nb, TM, C, R)
+        rhs1 = jnp.transpose(rhs1, (2, 0, 1, 3)).reshape(cd, nb * tm * rd)
+        rhs1 = rhs1.astype(ld)
         for i in range(3):
             ctx = ctxs[i]
-            out1 = _dot(v_ref[i], rhs1)  # (4a*C, TM*4b*R) f32
-            blocks = out1.reshape(4, c_dim, tm, 4, r_dim)
-            blocks = jnp.transpose(blocks, (0, 1, 2, 4, 3))  # (4a,C,TM,R,4b)
-            y = _recombine_pallas(
-                blocks.reshape(4, c_dim, tm * r_dim, 4), ctx
-            ).reshape(c_dim, tm, r_dim)
-            # twiddle: y' = y * G[t, r]
+            out1 = _dot(v_ref[i], rhs1)  # (4a*C, nb*TM*R) f32
+            b1 = out1.reshape(4, cd, nb, tm * rd).astype(I32)
+            y = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_c, nb)
+            # y: (C, TM*R) in [0, 2p); twiddle by G[t, r]
+            ym = y.reshape(cd, tm, rd)
             yt = shoup_mulmod(
-                y, g_ref[i][:, None, :], gs_ref[i][:, None, :], ctx.pu
-            )  # (C, TM, R) in [0, 2p)
-            yl = _split4_signed_i32(yt.astype(I32))  # (C, TM, R, 4)
-            rhs2 = jnp.transpose(yl, (2, 0, 1, 3)).reshape(r_dim, -1)
-            rhs2 = rhs2.astype(wr_ref.dtype)
-            out2 = _dot(wr_ref[i], rhs2)  # (4a*R_s, C*TM*4b)
-            blocks2 = out2.reshape(4, r_dim, c_dim, tm, 4)
-            blocks2 = jnp.transpose(blocks2, (0, 2, 3, 1, 4))  # (4a,C,TM,R_s,4b)
-            z = _recombine_pallas(
-                blocks2.reshape(4, c_dim * tm, r_dim, 4), ctx
-            ).reshape(c_dim, tm, r_dim)
-            # layout h = t*R + s: (TM, C, R) -> (TM, N)
-            o_ref[:, i, :] = jnp.transpose(z, (1, 0, 2)).reshape(tm, n)
+                ym, g_ref[i][:, None, :], gs_ref[i][:, None, :], ctx.pu
+            )  # (C, TM, R)
+            ds2 = _split_list(yt.astype(I32))
+            rhs2 = jnp.stack(ds2, axis=0).reshape(4 * cd * tm, rd).astype(ld)
+            out2 = _dot_nt(wr_ref[i], rhs2)  # (4a*R_s, 4b*C*TM)
+            b2 = out2.reshape(4, rd, 4, cd * tm).astype(I32)
+            z = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_r)
+            # z: (R_s, C*TM) -> (TM, N) with lane h = t*R + s
+            zt = z.T.reshape(cd, tm, rd)  # (C_t, TM, R_s)
+            o_ref[:, i, :] = jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
 
     def inv_kernel(f_ref, wi_ref, vi_ref, gi_ref, gis_ref, o_ref):
         for i in range(3):
             ctx = ctxs[i]
             f = f_ref[:, i, :].astype(I32)  # (TM, N), h = t*R + s
-            fm = f.reshape(tm, c_dim, r_dim)  # (TM, C_t, R_s)
-            fl = _split4_signed_i32(fm)  # (TM, C, R_s, 4)
-            rhs1 = jnp.transpose(fl, (2, 0, 1, 3)).reshape(r_dim, -1)
-            rhs1 = rhs1.astype(wi_ref.dtype)
-            out1 = _dot(wi_ref[i], rhs1)  # (4a*R_r, TM*C*4b)
-            blocks = out1.reshape(4, r_dim, tm, c_dim, 4)
-            blocks = jnp.transpose(blocks, (0, 3, 2, 1, 4))  # (4a,C,TM,R_r,4b)
-            u = _recombine_pallas(
-                blocks.reshape(4, c_dim, tm * r_dim, 4), ctx
-            ).reshape(c_dim, tm, r_dim)
+            fm = f.reshape(tm, cd, rd)  # (TM, C_t, R_s)
+            ds = _split_list(fm)
+            rhs1 = jnp.stack(ds, axis=0).reshape(4 * tm * cd, rd).astype(ld)
+            out1 = _dot_nt(wi_ref[i], rhs1)  # (4a*R_r, 4b*TM*C)
+            b1 = out1.reshape(4, rd, 4, tm * cd).astype(I32)
+            u = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_r)
+            # u: (R_r, TM*C) -> (TM, C, R) for the Gi twiddle
+            um = u.T.reshape(tm, cd, rd)
             ut = shoup_mulmod(
-                u, gi_ref[i][:, None, :], gis_ref[i][:, None, :], ctx.pu
-            )  # (C_t, TM, R_r)
-            ul = _split4_signed_i32(ut.astype(I32))  # (C, TM, R, 4)
-            rhs2 = jnp.transpose(ul, (0, 1, 3, 2)).reshape(c_dim, -1)
-            rhs2 = rhs2.astype(vi_ref.dtype)
-            out2 = _dot(vi_ref[i], rhs2)  # (4a*C_c, TM*4b*R)
-            blocks2 = out2.reshape(4, c_dim, tm, 4, r_dim)
-            blocks2 = jnp.transpose(blocks2, (0, 1, 2, 4, 3))
-            a = _recombine_pallas(
-                blocks2.reshape(4, c_dim, tm * r_dim, 4), ctx
-            ).reshape(c_dim, tm, r_dim)
-            a = _condsub(a, ctx.pu)  # canonical [0, p)
-            # i = r + R*c: (TM, C_c, R) -> (TM, N)
-            o_ref[:, i, :] = jnp.transpose(a, (1, 0, 2)).reshape(tm, n)
+                um, gi_ref[i][None, :, :], gis_ref[i][None, :, :], ctx.pu
+            )  # (TM, C_t, R_r)
+            ds2 = _split_list(ut.astype(I32))
+            rhs2 = jnp.stack(ds2, axis=0)  # (4b, TM, C, R)
+            rhs2 = jnp.transpose(rhs2, (2, 0, 1, 3)).reshape(cd, 4 * tm * rd)
+            rhs2 = rhs2.astype(ld)
+            out2 = _dot(vi_ref[i], rhs2)  # (4a*C_c, 4b*TM*R)
+            b2 = out2.reshape(4, cd, 4, tm * rd).astype(I32)
+            a_res = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_c)
+            a_res = _condsub(a_res, ctx.pu)  # canonical [0, p)
+            # (C_c, TM*R) -> (TM, N) with lane i = r + R*c
+            am = a_res.reshape(cd, tm, rd)
+            o_ref[:, i, :] = jnp.transpose(am, (1, 0, 2)).reshape(tm, n)
 
     interpret = jax.default_backend() != "tpu"
 
@@ -256,13 +282,13 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int = 16):
             fwd_kernel,
             grid=(mt // tm,),
             in_specs=[
-                pl.BlockSpec((tm, n), lambda i: (i, 0)),
-                pl.BlockSpec(tables.v.shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(tables.wr.shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(tables.g.shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(tables.gs.shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec((tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec(tables.v.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.wr.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.g.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.gs.shape, lambda i: (_Z, _Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
             out_shape=jax.ShapeDtypeStruct((mt, 3, n), U32),
             interpret=interpret,
         )(xf, tables.v, tables.wr, tables.g, tables.gs)
@@ -280,13 +306,13 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int = 16):
             inv_kernel,
             grid=(mt // tm,),
             in_specs=[
-                pl.BlockSpec((tm, 3, n), lambda i: (i, 0, 0)),
-                pl.BlockSpec(tables.wi.shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(tables.vi.shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(tables.gi.shape, lambda i: (0, 0, 0)),
-                pl.BlockSpec(tables.gis.shape, lambda i: (0, 0, 0)),
+                pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
+                pl.BlockSpec(tables.wi.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.vi.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.gi.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.gis.shape, lambda i: (_Z, _Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
             out_shape=jax.ShapeDtypeStruct((mt, 3, n), U32),
             interpret=interpret,
         )(ff, tables.wi, tables.vi, tables.gi, tables.gis)
