@@ -43,9 +43,12 @@ class GlweLinearLayerExecutor:
             self.w_quant.scale = np.float64(1.0)
             self.w_quant.zero_point = np.float64(0.0)
         else:
-            self.w_quant.fit(self.weights)
-            # symmetric weights (zero_point forced to 0) keep the encrypted
-            # accumulation free of weight offsets
+            # symmetric quantization (zero_point 0) keeps the encrypted
+            # accumulation free of weight offsets; the scale must then be
+            # max|w|/qmax, NOT the asymmetric fit (which clips one-sided
+            # weight matrices)
+            amax = float(np.abs(np.asarray(self.weights, np.float64)).max())
+            self.w_quant.scale = np.float64(amax / self.w_quant.qmax or 1.0)
             self.w_quant.zero_point = np.float64(0.0)
         self.w_q = self.w_quant.quant(self.weights)
 
