@@ -139,11 +139,14 @@ class FhevmInstance:
         return self.public_key
 
     def generate_keypair(self) -> dict:
-        """User re-encryption keypair analog (reference keypair.ts uses
-        ML-KEM via the KMS WASM; here a symmetric session secret stands in
-        until the threshold-KMS subsystem lands)."""
-        sk = secrets.token_bytes(32)
-        return {"privateKey": sk.hex(), "publicKey": sk.hex()}
+        """Post-quantum user re-encryption keypair: ML-KEM-512 exactly as
+        the reference (keypair.ts:136-144 TKMS.ml_kem_pke_keygen); the
+        KMS seals decryption shares to publicKey and the user opens them
+        with privateKey (api/mlkem.py)."""
+        from tfhe_tpu.api import mlkem
+
+        ek, dk = mlkem.keygen()
+        return {"privateKey": dk.hex(), "publicKey": ek.hex()}
 
     def public_decrypt(self, handles: list) -> dict:
         """reference publicDecrypt.ts: ACL isAllowedForDecryption gate, then
@@ -166,6 +169,27 @@ class FhevmInstance:
                 raise PermissionError("contract not allowed")
             vals.append(self._decrypt_handle(hb))
         return vals
+
+    def user_decrypt_sealed(self, pairs: list, user: str, public_key: str) -> list:
+        """user_decrypt with the re-encryption boundary made real: each
+        clear value is SEALED to the user's ML-KEM public key (the KMS
+        share-encryption of userDecrypt.ts:238-246); unseal client-side
+        with `unseal`."""
+        from tfhe_tpu.api import mlkem
+
+        ek = bytes.fromhex(public_key.removeprefix("0x"))
+        sealed = []
+        for v in self.user_decrypt(pairs, user):
+            payload = int(v).to_bytes(256, "big")
+            sealed.append(mlkem.seal_to(ek, payload))
+        return sealed
+
+    @staticmethod
+    def unseal(sealed: bytes, private_key: str) -> int:
+        from tfhe_tpu.api import mlkem
+
+        dk = bytes.fromhex(private_key.removeprefix("0x"))
+        return int.from_bytes(mlkem.open_from(dk, sealed), "big")
 
     # -- coprocessor surface --------------------------------------------------
 
@@ -192,9 +216,25 @@ class FhevmInstance:
                 return self._put(a_t, res)
             res = self.CMP_OPS[op](self._sk, a, b)
             return self._put(FHE_TYPES["ebool"], res)
+        if op in ("div", "rem"):
+            a_t, a = self._get_radix(args[0])
+            if isinstance(args[1], bytes):
+                _, b = self._get_radix(args[1])
+                res = (ri.div if op == "div" else ri.rem)(self._sk, a, b)
+            else:
+                res = (ri.scalar_div if op == "div" else ri.scalar_rem)(
+                    self._sk, a, int(args[1])
+                )
+            return self._put(a_t, res)
         if op in self.SHIFT_OPS:
             a_t, a = self._get_radix(args[0])
-            res = self.SHIFT_OPS[op](self._sk, a, int(args[1]))
+            if isinstance(args[1], bytes):  # encrypted shift amount
+                _, amt = self._get_radix(args[1])
+                enc = {"shl": ri.shl_enc, "shr": ri.shr_enc,
+                       "rotl": ri.rotl_enc, "rotr": ri.rotr_enc}[op]
+                res = enc(self._sk, a, amt)
+            else:
+                res = self.SHIFT_OPS[op](self._sk, a, int(args[1]))
             return self._put(a_t, res)
         if op == "not":
             a_t, a = self._get_radix(args[0])

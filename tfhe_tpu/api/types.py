@@ -29,11 +29,18 @@ FHE_TYPES = {
         FheType("euint128", 6, 128, "euint128"),
         FheType("eaddress", 7, 160, "eaddress"),
         FheType("euint256", 8, 256, "euint256"),
+        FheType("ebytes64", 9, 512, "ebytes64"),
+        FheType("ebytes128", 10, 1024, "ebytes128"),
+        FheType("ebytes256", 11, 2048, "ebytes256"),
     ]
 }
 
 _BY_ID = {t.type_id: t for t in FHE_TYPES.values()}
-_BY_BITS = {t.bits: t for t in FHE_TYPES.values() if t.name != "eaddress"}
+_BY_BITS = {
+    t.bits: t
+    for t in FHE_TYPES.values()
+    if t.name not in ("eaddress",)  # eaddress shares no width with euints
+}
 
 
 def type_from_id(type_id: int) -> FheType:

@@ -43,6 +43,12 @@ def _meta_of(obj) -> dict:
         return {"__dataclass__": type(obj).__module__ + ":" + type(obj).__qualname__, "fields": d}
     if isinstance(obj, tuple):
         return {"__tuple__": [_meta_of(x) for x in obj]}
+    if isinstance(obj, dict):
+        # sorted keys: jax.tree_util.tree_leaves flattens dicts in sorted
+        # key order, and array payloads must line up with it
+        return {
+            "__dict__": {str(k): _meta_of(obj[k]) for k in sorted(obj)}
+        }
     if isinstance(obj, (jax.Array, np.ndarray)):
         return {"__array__": True}
     return obj
@@ -91,6 +97,8 @@ def _rebuild(meta, arrays: list):
         return cls(**kwargs)
     if isinstance(meta, dict) and "__tuple__" in meta:
         return tuple(_rebuild(x, arrays) for x in meta["__tuple__"])
+    if isinstance(meta, dict) and "__dict__" in meta:
+        return {k: _rebuild(v, arrays) for k, v in meta["__dict__"].items()}
     if isinstance(meta, dict) and meta.get("__array__"):
         return arrays.pop(0)
     if isinstance(meta, list):  # JSON turned tuples into lists
