@@ -84,3 +84,37 @@ def compress_glwe(ct: jax.Array, log2_modulus: int) -> CompressedGlweCiphertext:
 def decompress_glwe(c: CompressedGlweCiphertext) -> jax.Array:
     """Back to q = 2^64 (the rounding error is absorbed as extra noise)."""
     return c.data.astype(U64) << U64(64 - c.log2_modulus)
+
+
+def pack_compressed_glwe(c: CompressedGlweCiphertext) -> bytes:
+    """Dense bit-packed wire format: log2_modulus bits per coefficient
+    (the reference's CompressedModulusSwitchedGlweCiphertext bit-packs
+    its PackedIntegers the same way, compression.rs:59-128). Uses the
+    native C codec (tfhe_tpu/native)."""
+    import numpy as np
+
+    from tfhe_tpu import native
+
+    data = np.asarray(c.data)
+    header = (
+        bytes([c.log2_modulus, data.ndim])
+        + b"".join(int(d).to_bytes(4, "little") for d in data.shape)
+    )
+    return header + native.bitpack(data, c.log2_modulus)
+
+
+def unpack_compressed_glwe(blob: bytes) -> CompressedGlweCiphertext:
+    import numpy as np
+
+    from tfhe_tpu import native
+
+    log2_m, ndim = blob[0], blob[1]
+    shape = tuple(
+        int.from_bytes(blob[2 + 4 * i : 6 + 4 * i], "little")
+        for i in range(ndim)
+    )
+    count = int(np.prod(shape))
+    vals = native.bitunpack(blob[2 + 4 * ndim :], log2_m, count)
+    return CompressedGlweCiphertext(
+        data=jnp.asarray(vals.reshape(shape)), log2_modulus=log2_m
+    )

@@ -1,9 +1,10 @@
-"""Pure-python keccak-256 (Ethereum variant: original Keccak padding).
+"""keccak-256 (Ethereum variant: original Keccak padding).
 
 Needed for the fhevm handle codec (reference:
-sdk/relayer/src/sdk/FhevmHandle.ts keccak256 domain-separated hashes) --
-host-side only, a few hashes per input batch, so pure python is fine.
-Vectors tested in tests/test_api.py.
+sdk/relayer/src/sdk/FhevmHandle.ts keccak256 domain-separated hashes).
+`keccak256` dispatches to the native C kernel (tfhe_tpu/native, ~400x
+faster) when the toolchain is available; `keccak256_py` is the
+pure-python reference implementation (vectors in tests/test_api.py).
 """
 
 from __future__ import annotations
@@ -58,6 +59,13 @@ def _keccak_f(state: list) -> None:
 
 
 def keccak256(data: bytes) -> bytes:
+    """Native C kernel when available, python fallback otherwise."""
+    from tfhe_tpu import native
+
+    return native.keccak256(data)
+
+
+def keccak256_py(data: bytes) -> bytes:
     rate = 136  # bytes, for 256-bit output
     # original keccak padding: 0x01 ... 0x80
     pad_len = rate - (len(data) % rate)
