@@ -56,8 +56,17 @@ def pk_encrypt_blocks(
     m = pk.zeros.shape[0]
     vals = jnp.asarray(block_values, dtype=U64)
     r = rng.binary(vals.shape + (m,))
-    ct = jnp.einsum(
-        "...m,mn->...n", r.astype(jnp.int64), pk.zeros.astype(jnp.int64)
-    ).astype(U64)
+    # r . PK as 16 int8 nibble matmuls with i32 accumulation (TPUs have no
+    # 64-bit dot; binary r x 4-bit limbs sums to < 2^16 -- exact), the
+    # same contraction scheme as core.lwe.keyswitch
+    from tfhe_tpu.core.lwe import _u64_to_nibbles
+
+    limbs = _u64_to_nibbles(pk.zeros)  # (16, M, n+1) int8
+    r8 = r.astype(jnp.int8)
+    ct = None
+    for l in range(16):
+        part = jnp.matmul(r8, limbs[l], preferred_element_type=jnp.int32)
+        term = part.astype(jnp.uint32).astype(U64) << U64(4 * l)
+        ct = term if ct is None else ct + term
     e = rng.noise(p.glwe_noise, vals.shape)
     return ct.at[..., -1].add(encode(vals, p.delta) + e)

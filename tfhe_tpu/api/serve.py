@@ -27,8 +27,17 @@ from tfhe_tpu.utils import serialization
 class FheServer:
     """Wraps an FhevmInstance behind the reference server's HTTP API."""
 
-    def __init__(self, instance: FhevmInstance, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        instance: FhevmInstance,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        api_key: str | None = None,
+    ):
         self.instance = instance
+        # auth (reference sdk/relayer/src/auth.ts:10-38: bearer token or
+        # API-key header); None disables the check
+        self.api_key = api_key
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self._httpd.server_address[1]
@@ -156,6 +165,14 @@ def _make_handler(server: FheServer):
         def log_message(self, *a):
             pass
 
+        def _authed(self) -> bool:
+            if server.api_key is None:
+                return True
+            auth = self.headers.get("Authorization", "")
+            if auth == f"Bearer {server.api_key}":
+                return True
+            return self.headers.get("x-api-key") == server.api_key
+
         def _reply(self, code: int, obj):
             data = json.dumps(obj).encode()
             self.send_response(code)
@@ -168,6 +185,8 @@ def _make_handler(server: FheServer):
             fn = routes_get.get(self.path)
             if fn is None:
                 return self._reply(404, {"error": f"no route {self.path}"})
+            if not self._authed():
+                return self._reply(401, {"error": "unauthorized"})
             try:
                 self._reply(200, fn())
             except ApiError as e:
@@ -179,6 +198,8 @@ def _make_handler(server: FheServer):
             fn = routes_post.get(self.path)
             if fn is None:
                 return self._reply(404, {"error": f"no route {self.path}"})
+            if not self._authed():
+                return self._reply(401, {"error": "unauthorized"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")

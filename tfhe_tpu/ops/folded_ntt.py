@@ -407,7 +407,9 @@ class FoldedCrtEngine:
         # Fused Pallas kernels carry the PBS hot path on TPU (forward of
         # gadget digits + inverse): they keep the 16x digit-block f32
         # intermediates in VMEM, where the XLA path is HBM-bound on them.
-        self.use_pallas = jax.default_backend() == "tpu"
+        # N >= 256 keeps R = 128: every kernel-internal reshape then has a
+        # 128-multiple minor dim (Mosaic requirement, ops/pallas_ntt.py)
+        self.use_pallas = jax.default_backend() == "tpu" and n >= 256
         self._pallas_fwd = None
         self._pallas_inv = None
         if self.use_pallas:
