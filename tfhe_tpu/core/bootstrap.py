@@ -107,6 +107,14 @@ def blind_rotate(
 
     a_steps = jnp.moveaxis(a_t, -1, 0)  # (n, ...)
 
+    if (
+        getattr(engine, "use_pallas", False)
+        and bsk.gadget.level == 1
+        and bsk.gadget.base_log <= 31
+        and lut.shape[-2] == 2  # k + 1
+    ):
+        return _blind_rotate_fused(acc, a_steps, bsk, engine)
+
     def step(carry, xs):
         bsk_j, a_j = xs  # (D, k+1, P, N), (...,)
         rot = negacyclic_monomial_rotate(carry, a_j[..., None])
@@ -117,6 +125,60 @@ def blind_rotate(
 
     acc, _ = jax.lax.scan(step, acc, (bsk.bsk_ntt, a_steps))
     return acc
+
+
+def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
+    """Scan of the fully-fused Pallas step kernel (flagship shape:
+    level 1, k=1). acc: (..., 2, N) u64; a_steps: (n, ...)."""
+    from tfhe_tpu.ops.pallas_blind_rotate import (
+        bsk_to_step_layout,
+        monomial_ntt_table,
+    )
+
+    batch = acc.shape[:-2]
+    n_poly = acc.shape[-1]
+    b = 1
+    for d in batch:
+        b *= d
+    tm = 16
+    pad = (-b) % tm
+    flat = acc.reshape(b, 2, n_poly)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, 2, n_poly), dtype=flat.dtype)], axis=0
+        )
+    lo = (flat & U64(0xFFFFFFFF)).astype(jnp.uint32).reshape(-1, n_poly)
+    hi = (flat >> U64(32)).astype(jnp.uint32).reshape(-1, n_poly)
+    e = a_steps.reshape(a_steps.shape[0], b).astype(jnp.int32)
+    if pad:
+        e = jnp.concatenate(
+            [e, jnp.zeros((e.shape[0], pad), dtype=jnp.int32)], axis=1
+        )
+    bv, bs = bsk_to_step_layout(bsk.bsk_ntt)
+    rot_table = monomial_ntt_table(engine)  # (2N, P, 2, N)
+    step_fn = _fused_step(engine, bsk.gadget.base_log, bsk.shift, tm)
+    bp = b + pad
+
+    def body(carry, xs):
+        clo, chi = carry
+        bvj, bsj, ej = xs
+        rows = rot_table[ej]  # (B, P, 2, N): NTT(X^{a_j} - 1) Shoup rows
+        rv = rows[:, :, 0, :].reshape(bp * 3, n_poly)
+        rs = rows[:, :, 1, :].reshape(bp * 3, n_poly)
+        clo, chi = step_fn(clo, chi, rv, rs, bvj, bsj)
+        return (clo, chi), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), (bv, bs, e))
+    out = lo.astype(U64) | (hi.astype(U64) << U64(32))
+    out = out.reshape(-1, 2, n_poly)[:b]
+    return out.reshape(*batch, 2, n_poly)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_step(engine, base_log: int, shift: int, tm: int):
+    from tfhe_tpu.ops.pallas_blind_rotate import make_pallas_blind_rotate
+
+    return make_pallas_blind_rotate(engine, base_log, shift, tm=tm)
 
 
 @functools.partial(jax.jit, static_argnames=("engine",))

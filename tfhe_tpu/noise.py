@@ -63,8 +63,16 @@ def external_product_variance(
 def blind_rotate_variance(
     n_lwe: int, k: int, n_poly: int, gadget: GadgetParams, key_noise_var: float
 ) -> float:
-    """n CMuxes, each one external product."""
-    return n_lwe * external_product_variance(k, n_poly, gadget, key_noise_var)
+    """n CMuxes, each one external product.
+
+    The fused TPU kernel evaluates CMux as acc += (X^a - 1) * EP(acc)
+    (ops/pallas_blind_rotate.py): the (X^a - 1) factor doubles the EP
+    noise variance (two monomial copies), hence the factor 2 -- a
+    conservative bound that also covers the rotate-then-EP form the XLA
+    scan uses (whose factor is 1)."""
+    return 2.0 * n_lwe * external_product_variance(
+        k, n_poly, gadget, key_noise_var
+    )
 
 
 def mod_switch_variance(n_lwe: int, n_poly: int) -> float:

@@ -424,7 +424,8 @@ class FoldedCrtEngine:
 
     @staticmethod
     def _pair(w: int, p: int):
-        return (U32(w), U32((w << 32) // p), p)
+        # numpy scalars: usable as literals inside Pallas kernels
+        return (np.uint32(w), np.uint32((w << 32) // p), p)
 
     # -- forward --------------------------------------------------------------
 

@@ -1,0 +1,238 @@
+"""Fully-fused blind-rotation step: ONE Pallas kernel per scan step.
+
+Uses the rotation-free CMux form
+
+    acc += (X^{a_j} - 1) * EP(BSK_j, acc)
+
+so the data-dependent negacyclic rotation never touches the coefficient
+domain: (X^{a_j} - 1) is applied as a pointwise NTT-domain Shoup multiply
+by a precomputed monomial-transform table row gathered per ciphertext
+(monomial_ntt_table). A coefficient-domain barrel rotation inside the
+kernel costs 12 rounds of unaligned lane concats (measured slower than
+the unfused path); the table form is pure elementwise math -- the shape
+TPUs want. Identity check: EP(bsk_j, X) ~ s_j * X, so
+acc + (X^a-1) EP(acc) = acc + s_j (X^a - 1) acc = CMux(s_j; acc, X^a acc).
+
+Covers the flagship shape (gadget level 1, k = 1); other parameter sets
+fall back to the XLA scan in core/bootstrap.py. The accumulator rides as
+u32 (lo, hi) planes; decomposition, Garner and accumulation are u32 pair
+arithmetic (no u64 anywhere, PERF_NOTES.md). NTT stages reuse
+ops/pallas_ntt.fwd_prime/inv_prime, so FoldedCrtEngine key material is
+consumed unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from tfhe_tpu.ops.folded_ntt import (
+    FoldedCrtEngine,
+    _condsub,
+    _limb_dtype,
+    _mulhi_u32,
+    shoup_mulmod,
+)
+from tfhe_tpu.ops.pallas_ntt import (
+    PallasNttTables,
+    _Z,
+    fwd_prime,
+    inv_prime,
+    make_fwd_rhs,
+)
+
+U32 = jnp.uint32
+I32 = jnp.int32
+_N1 = np.uint32(1)
+
+
+def _add_pair(al, ah, bl, bh):
+    lo = al + bl
+    carry = jnp.where(lo < al, _N1, np.uint32(0))
+    return lo, ah + bh + carry
+
+
+def _sub_pair(al, ah, bl, bh):
+    lo = al - bl
+    borrow = jnp.where(al < bl, _N1, np.uint32(0))
+    return lo, ah - bh - borrow
+
+
+def _mul32x32(a, b):
+    return a * b, _mulhi_u32(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def monomial_ntt_table(engine: FoldedCrtEngine):
+    """(2N, P, 2, N) u32: Shoup pairs of NTT(X^e - 1) for e in [0, 2N).
+    X^{N+j} = -X^j; e = 0 gives the zero polynomial (CMux no-op)."""
+    n = engine.n
+    polys = np.zeros((2 * n, n), dtype=np.int32)
+    for e in range(2 * n):
+        if e < n:
+            polys[e, e] += 1
+        else:
+            polys[e, e - n] -= 1
+        polys[e, 0] -= 1
+    f = engine.forward_small(jnp.asarray(polys))  # (2N, P, N)
+    return engine.make_shoup(f)  # (2N, P, 2, N)
+
+
+def make_pallas_blind_rotate(
+    engine: FoldedCrtEngine, base_log: int, shift: int, tm: int = 16
+):
+    """Returns step(acc_lo, acc_hi, rotv, rots, bskv, bsks) -> (lo, hi):
+      acc_*: (B*2, N) u32 planes of the GLWE accumulator (k+1 = 2)
+      rotv/rots: (B*3, N) u32 -- per-ciphertext NTT(X^{a_j} - 1) Shoup
+                 rows (ct-major, prime-minor), gathered from
+                 monomial_ntt_table by the caller
+      bskv/bsks: (12, N) u32 -- this step's GGSW in Shoup form, rows
+                 ordered (prime, d, c) = i*4 + d*2 + c.
+    """
+    n = engine.n
+    tables = PallasNttTables(engine)
+    cd, rd = tables.c_dim, tables.r_dim
+    ctxs = [ntt.ctx for ntt in engine.ntts]
+    big_c, big_r = cd > 64, rd > 64
+    ld = _limb_dtype()
+    assert 1 <= base_log <= 31
+    # decomposition constants (level 1): state = (x + 2^(63-B)) >> (64-B);
+    # the rounding half has zero low bits so only the hi plane moves
+    half_hi = np.uint32(1 << (64 - base_log - 1 - 32))
+    st_shift = np.uint32(64 - base_log - 32)
+    b_half = np.int32(1 << (base_log - 1))
+    b_full = np.int32(1 << base_log)
+    eng = engine
+    p1, p2, p3 = engine.primes
+    g_inv12 = eng._g_inv_p1_p2
+    g_p1m3 = eng._g_p1_mod_p3
+    g_inv123 = eng._g_inv_p1p2_p3
+    p1_u, p2_u = np.uint32(p1), np.uint32(p2)
+    prod = p1 * p2 * p3
+    prod_lo = np.uint32(prod % 2**64 & 0xFFFFFFFF)
+    prod_hi = np.uint32((prod % 2**64) >> 32)
+    h3, h2, h1 = (np.uint32(int(x)) for x in (eng._h3, eng._h2, eng._h1))
+    sh = shift
+    assert 0 <= sh < 32
+
+    def kernel(lo_ref, hi_ref, rv_ref, rs_ref, bv_ref, bs_ref,
+               v_t, wr_t, g_t, gs_t, wi_t, vi_t, gi_t, gis_t,
+               olo_ref, ohi_ref):
+        lo = lo_ref[:]  # (tm*2, N)
+        hi = hi_ref[:]
+        # decompose acc directly (level 1, base_log)
+        dh2 = hi + half_hi
+        state = (dh2 >> st_shift).astype(I32)
+        d = state - jnp.where(state >= b_half, b_full, np.int32(0))
+        # forward NTT of digits (rows = (ct, d)), 3 planes
+        rhs1 = make_fwd_rhs(d, cd, rd, tm * 2, 3, ld)
+        rv = rv_ref[:].reshape(tm, 3, n)
+        rs = rs_ref[:].reshape(tm, 3, n)
+        res = []
+        for i in range(3):
+            ctx = ctxs[i]
+            fd = fwd_prime(
+                rhs1, i, v_t, wr_t, g_t, gs_t, ctx,
+                cd, rd, tm * 2, 3, big_c, big_r, n,
+            )  # (tm*2, N) u32 in [0, 2p)
+            fdm = fd.reshape(tm, 2, n)
+            outs = []
+            for c in range(2):
+                t0 = shoup_mulmod(
+                    fdm[:, 0, :], bv_ref[4 * i + c], bs_ref[4 * i + c], ctx.pu
+                )
+                t1 = shoup_mulmod(
+                    fdm[:, 1, :], bv_ref[4 * i + 2 + c], bs_ref[4 * i + 2 + c],
+                    ctx.pu,
+                )
+                s = _condsub(t0 + t1, ctx.two_p)  # EP in NTT domain
+                # rotation: pointwise (X^a - 1) multiply, per ciphertext
+                s = shoup_mulmod(s, rv[:, i, :], rs[:, i, :], ctx.pu)
+                outs.append(_condsub(_condsub(s, ctx.two_p), ctx.pu))
+            prodm = jnp.stack(outs, axis=1).reshape(tm * 2, n)
+            res.append(
+                inv_prime(
+                    prodm.astype(I32), i, wi_t, vi_t, gi_t, gis_t, ctx,
+                    cd, rd, tm * 2, big_c, big_r, n, ld,
+                )
+            )
+        # Garner: residues -> u64 pair, centered, << shift
+        r1, r2, r3 = res
+        c2, c3 = ctxs[1], ctxs[2]
+        v1 = r1
+        w, ws, _ = g_inv12
+        dgar = r2 + c2.two_p - v1
+        v2 = _condsub(shoup_mulmod(dgar, w, ws, c2.pu), c2.pu)
+        w, ws, _ = g_p1m3
+        lo3 = shoup_mulmod(v2, w, ws, c3.pu) + v1
+        lo3 = _condsub(lo3, c3.two_p)
+        w, ws, _ = g_inv123
+        d3 = r3 + c3.two_p - lo3
+        v3 = _condsub(shoup_mulmod(d3, w, ws, c3.pu), c3.pu)
+        tl, th = _mul32x32(p2_u, v3)
+        tl, th = _add_pair(tl, th, v2, jnp.zeros_like(v2))
+        xl, xh = _mul32x32(p1_u, tl)
+        xh = xh + p1_u * th  # (p1*th) << 32 wraps into the hi plane
+        xl, xh = _add_pair(xl, xh, v1, jnp.zeros_like(v1))
+        neg = (v3 > h3) | ((v3 == h3) & ((v2 > h2) | ((v2 == h2) & (v1 > h1))))
+        xl, xh = _sub_pair(
+            xl, xh,
+            jnp.where(neg, prod_lo, np.uint32(0)),
+            jnp.where(neg, prod_hi, np.uint32(0)),
+        )
+        if sh:
+            xh = (xh << np.uint32(sh)) | (xl >> np.uint32(32 - sh))
+            xl = xl << np.uint32(sh)
+        ol, oh = _add_pair(lo, hi, xl, xh)
+        olo_ref[:] = ol
+        ohi_ref[:] = oh
+
+    t = tables
+
+    @jax.jit
+    def step(acc_lo, acc_hi, rotv, rots, bskv, bsks):
+        b2 = acc_lo.shape[0]
+        grid = (b2 // (2 * tm),)
+        full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(_Z for _ in a.shape))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((3 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((3 * tm, n), lambda i: (i, _Z)),
+                full(bskv),
+                full(bsks),
+                full(t.v), full(t.wr), full(t.g), full(t.gs),
+                full(t.wi), full(t.vi), full(t.gi), full(t.gis),
+            ],
+            out_specs=[
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b2, n), U32),
+                jax.ShapeDtypeStruct((b2, n), U32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(
+            acc_lo, acc_hi, rotv, rots, bskv, bsks,
+            t.v, t.wr, t.g, t.gs, t.wi, t.vi, t.gi, t.gis,
+        )
+
+    return step
+
+
+def bsk_to_step_layout(bsk_ntt: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """BootstrapKey.bsk_ntt (n, D=2, k+1=2, P=3, 2, N) -> per-step
+    (n, 12, N) value and Shoup arrays, rows ordered (prime, d, c)."""
+    v = bsk_ntt[..., 0, :]  # (n, 2, 2, 3, N)
+    s = bsk_ntt[..., 1, :]
+    v = jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(bsk_ntt.shape[0], 12, -1)
+    s = jnp.transpose(s, (0, 3, 1, 2, 4)).reshape(bsk_ntt.shape[0], 12, -1)
+    return v, s

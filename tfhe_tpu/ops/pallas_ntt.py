@@ -192,6 +192,61 @@ def _dot_nt(lhs, rhs):
     )
 
 
+
+
+def fwd_prime(x_planes_rhs, i, v_tab, wr_tab, g_tab, gs_tab, ctx,
+              cd, rd, tm, nb, big_c, big_r, n):
+    """One prime's forward transform on kernel VALUES.
+
+    x_planes_rhs: (C, nb*TM*R) limb-dtype stage-1 rhs (shared across
+    primes). Returns (TM, N) u32 in [0, 2p), layout h = t*R + s."""
+    out1 = _dot(v_tab[i], x_planes_rhs)  # (4a*C, nb*TM*R) f32
+    b1 = out1.reshape(4, cd, nb, tm * rd).astype(I32)
+    y = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_c, nb)
+    ym = y.reshape(cd, tm, rd)
+    yt = shoup_mulmod(ym, g_tab[i][:, None, :], gs_tab[i][:, None, :], ctx.pu)
+    ds2 = _split_list(yt.astype(I32))
+    rhs2 = jnp.stack(ds2, axis=0).reshape(4 * cd * tm, rd)
+    rhs2 = rhs2.astype(wr_tab.dtype)
+    out2 = _dot_nt(wr_tab[i], rhs2)  # (4a*R_s, 4b*C*TM)
+    b2 = out2.reshape(4, rd, 4, cd * tm).astype(I32)
+    z = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_r)
+    zt = z.T.reshape(cd, tm, rd)  # (C_t, TM, R_s)
+    return jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
+
+
+def make_fwd_rhs(x_i32, cd, rd, tm, nb, ld):
+    """(TM, N) i32 -> shared stage-1 rhs (C, nb*TM*R) limb planes."""
+    xm = x_i32.reshape(tm, cd, rd)
+    ds = _split_list(xm, nb)
+    rhs1 = jnp.stack(ds, axis=0)  # (nb, TM, C, R)
+    return jnp.transpose(rhs1, (2, 0, 1, 3)).reshape(cd, nb * tm * rd).astype(ld)
+
+
+def inv_prime(f_i32, i, wi_tab, vi_tab, gi_tab, gis_tab, ctx,
+              cd, rd, tm, big_c, big_r, n, ld):
+    """One prime's inverse on kernel VALUES: (TM, N) i32 (< 2^31, layout
+    h = t*R + s) -> (TM, N) u32 canonical residues, natural order."""
+    fm = f_i32.reshape(tm, cd, rd)  # (TM, C_t, R_s)
+    ds = _split_list(fm)
+    rhs1 = jnp.stack(ds, axis=0).reshape(4 * tm * cd, rd).astype(ld)
+    out1 = _dot_nt(wi_tab[i], rhs1)  # (4a*R_r, 4b*TM*C)
+    b1 = out1.reshape(4, rd, 4, tm * cd).astype(I32)
+    u = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_r)
+    um = u.T.reshape(tm, cd, rd)
+    ut = shoup_mulmod(um, gi_tab[i][None, :, :], gis_tab[i][None, :, :], ctx.pu)
+    ds2 = _split_list(ut.astype(I32))
+    rhs2 = jnp.stack(ds2, axis=0)  # (4b, TM, C, R)
+    rhs2 = jnp.transpose(rhs2, (2, 0, 1, 3)).reshape(cd, 4 * tm * rd)
+    rhs2 = rhs2.astype(vi_tab.dtype)
+    out2 = _dot(vi_tab[i], rhs2)  # (4a*C_c, 4b*TM*R)
+    b2 = out2.reshape(4, cd, 4, tm * rd).astype(I32)
+    a_res = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_c)
+    a_res = _condsub(a_res, ctx.pu)
+    am = a_res.reshape(cd, tm, rd)
+    return jnp.transpose(am, (1, 0, 2)).reshape(tm, n)
+
+
 def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4):
     """Build (forward, inverse) fused transforms for `engine`.
 
@@ -210,57 +265,19 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
     ld = _limb_dtype()
 
     def fwd_kernel(x_ref, v_ref, wr_ref, g_ref, gs_ref, o_ref):
-        x = x_ref[:]  # (TM, N) i32
-        xm = x.reshape(tm, cd, rd)  # lane split: i = r + R*c (minor R=128)
-        ds = _split_list(xm, nb)  # nb x (TM, C, R)
-        rhs1 = jnp.stack(ds, axis=0)  # (nb, TM, C, R)
-        rhs1 = jnp.transpose(rhs1, (2, 0, 1, 3)).reshape(cd, nb * tm * rd)
-        rhs1 = rhs1.astype(ld)
+        rhs1 = make_fwd_rhs(x_ref[:], cd, rd, tm, nb, ld)
         for i in range(3):
-            ctx = ctxs[i]
-            out1 = _dot(v_ref[i], rhs1)  # (4a*C, nb*TM*R) f32
-            b1 = out1.reshape(4, cd, nb, tm * rd).astype(I32)
-            y = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_c, nb)
-            # y: (C, TM*R) in [0, 2p); twiddle by G[t, r]
-            ym = y.reshape(cd, tm, rd)
-            yt = shoup_mulmod(
-                ym, g_ref[i][:, None, :], gs_ref[i][:, None, :], ctx.pu
-            )  # (C, TM, R)
-            ds2 = _split_list(yt.astype(I32))
-            rhs2 = jnp.stack(ds2, axis=0).reshape(4 * cd * tm, rd).astype(ld)
-            out2 = _dot_nt(wr_ref[i], rhs2)  # (4a*R_s, 4b*C*TM)
-            b2 = out2.reshape(4, rd, 4, cd * tm).astype(I32)
-            z = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_r)
-            # z: (R_s, C*TM) -> (TM, N) with lane h = t*R + s
-            zt = z.T.reshape(cd, tm, rd)  # (C_t, TM, R_s)
-            o_ref[:, i, :] = jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
+            o_ref[:, i, :] = fwd_prime(
+                rhs1, i, v_ref, wr_ref, g_ref, gs_ref, ctxs[i],
+                cd, rd, tm, nb, big_c, big_r, n,
+            )
 
     def inv_kernel(f_ref, wi_ref, vi_ref, gi_ref, gis_ref, o_ref):
         for i in range(3):
-            ctx = ctxs[i]
-            f = f_ref[:, i, :].astype(I32)  # (TM, N), h = t*R + s
-            fm = f.reshape(tm, cd, rd)  # (TM, C_t, R_s)
-            ds = _split_list(fm)
-            rhs1 = jnp.stack(ds, axis=0).reshape(4 * tm * cd, rd).astype(ld)
-            out1 = _dot_nt(wi_ref[i], rhs1)  # (4a*R_r, 4b*TM*C)
-            b1 = out1.reshape(4, rd, 4, tm * cd).astype(I32)
-            u = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_r)
-            # u: (R_r, TM*C) -> (TM, C, R) for the Gi twiddle
-            um = u.T.reshape(tm, cd, rd)
-            ut = shoup_mulmod(
-                um, gi_ref[i][None, :, :], gis_ref[i][None, :, :], ctx.pu
-            )  # (TM, C_t, R_r)
-            ds2 = _split_list(ut.astype(I32))
-            rhs2 = jnp.stack(ds2, axis=0)  # (4b, TM, C, R)
-            rhs2 = jnp.transpose(rhs2, (2, 0, 1, 3)).reshape(cd, 4 * tm * rd)
-            rhs2 = rhs2.astype(ld)
-            out2 = _dot(vi_ref[i], rhs2)  # (4a*C_c, 4b*TM*R)
-            b2 = out2.reshape(4, cd, 4, tm * rd).astype(I32)
-            a_res = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_c)
-            a_res = _condsub(a_res, ctx.pu)  # canonical [0, p)
-            # (C_c, TM*R) -> (TM, N) with lane i = r + R*c
-            am = a_res.reshape(cd, tm, rd)
-            o_ref[:, i, :] = jnp.transpose(am, (1, 0, 2)).reshape(tm, n)
+            o_ref[:, i, :] = inv_prime(
+                f_ref[:, i, :].astype(I32), i, wi_ref, vi_ref, gi_ref,
+                gis_ref, ctxs[i], cd, rd, tm, big_c, big_r, n, ld,
+            )
 
     interpret = jax.default_backend() != "tpu"
 
