@@ -118,11 +118,26 @@ class _PrimeCtx:
         self.c48 = pair(1 << 48)
 
     def reduce_signed(self, t: jax.Array, c) -> jax.Array:
-        """(i32 t) * c.w mod p -> [0, 2p), c = (w, w_shoup, corr)."""
+        """(i32 t) * c.w mod p -> [0, 2p), c = (w, w_shoup, corr).
+
+        Uses an APPROXIMATE mulhi (the low-low partial product is
+        dropped, so the Shoup quotient may be one short and the residue
+        lands in [0, 3p)); with p < 2^30 the negative-input fix (p-corr)
+        keeps the sum below 4p and a single conditional subtract restores
+        [0, 2p). Saves one multiply + two shifts per point on the hottest
+        VPU path (the digit-block recombination)."""
         w, ws, corr = c
         a = t.astype(U32)  # two's complement: represents t + 2^32*[t<0]
-        r = shoup_mulmod(a, w, ws, self.pu)
-        fix = jnp.where(t < 0, np.uint32(self.two_p - corr), _NP0)
+        a0 = a & _NPFFFF
+        a1 = a >> _NP16
+        b0 = ws & _NPFFFF
+        b1 = ws >> _NP16
+        lh = a0 * b1
+        hl = a1 * b0
+        tt = (lh & _NPFFFF) + (hl & _NPFFFF)
+        q = a1 * b1 + (lh >> _NP16) + (hl >> _NP16) + (tt >> _NP16)
+        r = a * w - q * self.pu  # in [0, 3p)
+        fix = jnp.where(t < 0, np.uint32(self.p - int(corr) % self.p), _NP0)
         return _condsub(r + fix, self.two_p)
 
     def reduce_u64_pair(self, lo: jax.Array, hi: jax.Array) -> jax.Array:
