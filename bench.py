@@ -37,7 +37,7 @@ def main():
     from tfhe_tpu.rng import FheRng
 
     P = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     t0 = time.time()

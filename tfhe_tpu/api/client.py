@@ -3,35 +3,76 @@
 Role of the reference's luxfhejs client (reference:
 packages/luxfhejs/src/index.ts:42-273 LuxFHEClient encrypt_uint8..256 /
 unseal) and the hardhat plugin's HTTP calls (packages/hardhat-plugin/src/
-index.ts:26-142 encrypt/decrypt/getPublicKey).
+index.ts:26-142 encrypt/decrypt/getPublicKey). Retry/timeout/auth options
+mirror the relayer provider's fetch options (reference:
+sdk/relayer/src/relayer-provider/AbstractRelayerProvider.ts:23-27,
+RelayerV2MaxRetryError / RelayerV2TimeoutError, auth.ts:10-38).
 """
 
 from __future__ import annotations
 
 import json
+import time
+import urllib.error
 import urllib.request
 
 
 class FheClient:
-    def __init__(self, base_url: str):
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str | None = None,
+        timeout: float = 30.0,
+        retries: int = 2,
+        retry_backoff: float = 0.25,
+    ):
         self.base = base_url.rstrip("/")
+        self.api_key = api_key
+        self.timeout = timeout
+        self.retries = retries
+        self.retry_backoff = retry_backoff
+
+    def _headers(self) -> dict:
+        h = {"Content-Type": "application/json"}
+        if self.api_key:
+            h["Authorization"] = f"Bearer {self.api_key}"
+        return h
+
+    def _request(self, req):
+        """Bounded retries on transport errors and 5xx (4xx raise
+        immediately -- client errors do not heal with retries)."""
+        last = None
+        for attempt in range(self.retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                msg = ""
+                try:
+                    msg = json.loads(e.read()).get("error", "")
+                except Exception:  # noqa: BLE001 -- body may not be JSON
+                    pass
+                if e.code < 500:
+                    raise FheClientError(e.code, msg) from None
+                last = FheClientError(e.code, msg)
+            except (urllib.error.URLError, TimeoutError) as e:
+                last = FheClientError(0, f"transport: {e}")
+            if attempt < self.retries:
+                time.sleep(self.retry_backoff * (2**attempt))
+        raise FheClientMaxRetryError(str(last))
 
     def _get(self, path: str):
-        with urllib.request.urlopen(self.base + path) as r:
-            return json.loads(r.read())
+        req = urllib.request.Request(self.base + path, headers=self._headers())
+        return self._request(req)
 
     def _post(self, path: str, body: dict):
         req = urllib.request.Request(
             self.base + path,
             data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"},
+            headers=self._headers(),
             method="POST",
         )
-        try:
-            with urllib.request.urlopen(req) as r:
-                return json.loads(r.read())
-        except urllib.error.HTTPError as e:
-            raise FheClientError(e.code, json.loads(e.read()).get("error", ""))
+        return self._request(req)
 
     def health(self):
         return self._get("/health")
@@ -92,3 +133,11 @@ class FheClientError(Exception):
     def __init__(self, code: int, msg: str):
         super().__init__(f"HTTP {code}: {msg}")
         self.code = code
+
+
+class FheClientMaxRetryError(FheClientError):
+    """All retry attempts exhausted (reference RelayerV2MaxRetryError)."""
+
+    def __init__(self, msg: str):
+        Exception.__init__(self, f"max retries exceeded: {msg}")
+        self.code = 0
