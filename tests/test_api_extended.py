@@ -118,3 +118,49 @@ def test_encrypted_pandas_save_load(tmp_path):
     back = EncryptedDataFrame.load(p, cl.sk)
     out = cl.decrypt_to_pandas(back)
     np.testing.assert_array_equal(out["v"].values, [3, 4])
+
+
+def test_fhe_op_many_batched(inst):
+    user, contract = "0x" + "5" * 40, "0x" + "6" * 40
+    pairs = []
+    vals = [(3, 9), (250, 10), (77, 77), (0, 255)]
+    for a, b in vals:
+        inp = inst.create_encrypted_input(contract, user)
+        inp.add8(a)
+        inp.add8(b)
+        hs = inp.encrypt()["handles"]
+        pairs.append((hs[0], hs[1]))
+    adds = inst.fhe_op_many("add", pairs)
+    eqs = inst.fhe_op_many("eq", pairs)
+    scal = inst.fhe_op_many("add", [(p[0], 7) for p in pairs])
+    for h in adds + eqs + scal:
+        inst.acl.allow_for_decryption(h)
+    got_add = [v for v in inst.public_decrypt(adds).values()]
+    got_eq = [v for v in inst.public_decrypt(eqs).values()]
+    got_sc = [v for v in inst.public_decrypt(scal).values()]
+    assert got_add == [(a + b) % 256 for a, b in vals]
+    assert got_eq == [int(a == b) for a, b in vals]
+    assert got_sc == [(a + 7) % 256 for a, _ in vals]
+
+
+def test_ebytes_eq_select(inst):
+    user, contract = "0x" + "7" * 40, "0x" + "8" * 40
+    b1 = bytes(range(64))
+    b2 = bytes(range(64))
+    b3 = b"\xff" * 64
+    inp = inst.create_encrypted_input(contract, user)
+    inp.add_bytes64(b1)
+    hs1 = inp.encrypt()["handles"]
+    inp = inst.create_encrypted_input(contract, user)
+    inp.add_bytes64(b2)
+    inp.add_bytes64(b3)
+    hs2 = inp.encrypt()["handles"]
+    h_eq = inst.fhe_op("eq", hs1[0], hs2[0])
+    h_ne = inst.fhe_op("ne", hs1[0], hs2[1])
+    sel = inst.fhe_op("select", h_eq, hs1[0], hs2[1])
+    for h in (h_eq, h_ne, sel):
+        inst.acl.allow_for_decryption(h)
+    out = inst.public_decrypt([h_eq, h_ne, sel])
+    vals = list(out.values())
+    assert vals[0] == 1 and vals[1] == 1
+    assert vals[2] == int.from_bytes(b1, "big")

@@ -150,3 +150,35 @@ def test_cast_up_down(keys):
     np.testing.assert_array_equal(np.asarray(ri.decrypt_radix(ck, up)), a)
     down = ri.cast(sk, up, 4)
     np.testing.assert_array_equal(np.asarray(ri.decrypt_radix(ck, down)), a % 16)
+
+
+def test_euint32_add_mul(keys):
+    ck, sk = keys
+    a = _vals(32, 11)[:2]
+    b = _vals(32, 12)[:2]
+    ea, eb = _enc(ck, a, 32), _enc(ck, b, 32)
+    np.testing.assert_array_equal(
+        np.asarray(ri.decrypt_radix(ck, ri.add(sk, ea, eb))),
+        (a + b) % 2**32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ri.decrypt_radix(ck, ri.mul(sk, ea, eb))),
+        (a.astype(object) * b.astype(object) % 2**32).astype(np.uint64),
+    )
+
+
+def test_server_key_serialization_roundtrip(keys):
+    """Checkpoint/resume of key material (SURVEY.md section 5): a
+    deserialized server key must bootstrap identically."""
+    from tfhe_tpu.utils import serialization
+
+    ck, sk = keys
+    blob = serialization.serialize(sk)
+    sk2 = serialization.deserialize(blob)
+    a = _vals(8, 13)
+    b = _vals(8, 14)
+    ea, eb = _enc(ck, a, 8), _enc(ck, b, 8)
+    np.testing.assert_array_equal(
+        np.asarray(ri.decrypt_radix(ck, ri.add(sk2, ea, eb))),
+        (a + b) % 256,
+    )

@@ -89,6 +89,15 @@ class EncryptedInput:
         v = int(addr, 16) if isinstance(addr, str) else int(addr)
         return self._add("eaddress", v)
 
+    def add_bytes64(self, data: bytes) -> "EncryptedInput":
+        return self._add("ebytes64", int.from_bytes(data[:64], "big"))
+
+    def add_bytes128(self, data: bytes) -> "EncryptedInput":
+        return self._add("ebytes128", int.from_bytes(data[:128], "big"))
+
+    def add_bytes256(self, data: bytes) -> "EncryptedInput":
+        return self._add("ebytes256", int.from_bytes(data[:256], "big"))
+
     def encrypt(self) -> dict:
         """Public-key encrypt all values, register ciphertexts with the
         coprocessor store, return handles + serialized blob."""
@@ -252,6 +261,11 @@ class FhevmInstance:
             a_t, a = self._get_radix(args[0])
             target = FHE_TYPES[args[1]]
             return self._put(target, ri.cast(self._sk, a, target.bits))
+        if op == "randBounded":
+            t = FHE_TYPES[args[1]]
+            upper = int(args[0])
+            v = int.from_bytes(secrets.token_bytes(32), "big") % upper
+            return self._put(t, self._pk_encrypt_value(t, v))
         if op == "rand":
             t = FHE_TYPES[args[0]]
             upper = args[1] if len(args) > 1 else None
@@ -260,6 +274,70 @@ class FhevmInstance:
             ct = self._pk_encrypt_value(t, v)
             return self._put(t, ct)
         raise ValueError(f"unknown op {op}")
+
+    def fhe_op_many(self, op: str, pairs: list) -> list:
+        """Batched coprocessor execution: one device program for MANY
+        (a, b) handle pairs of the same op/type (the radix layer is
+        natively batched, so this is the production-serving path -- the
+        per-op dispatch floor amortizes across the whole batch; the role
+        of the reference's worker-pool queue, SURVEY.md section 3.4).
+
+        pairs: [(handle_a, handle_b_or_scalar), ...] -> result handles.
+        """
+        if op not in self.BINARY_OPS and op not in self.CMP_OPS:
+            return [self.fhe_op(op, *p) for p in pairs]
+        ts, acts, bcts = [], [], []
+        for ha, hb in pairs:
+            t, a = self._get_radix(ha)
+            if isinstance(hb, bytes):
+                _, b = self._get_radix(hb)
+            else:
+                b = ri.trivial_radix(
+                    self.params,
+                    jnp.asarray(int(hb) % (1 << a.nbits), dtype=U64),
+                    a.nbits,
+                )
+            assert a.nblocks == acts[0].nblocks if acts else True, (
+                "fhe_op_many requires a uniform operand type"
+            )
+            ts.append(t)
+            acts.append(a)
+            bcts.append(b)
+        batch_a = ri.RadixCiphertext(
+            blocks=jnp.stack([a.blocks for a in acts]),
+            params=self.params,
+            degrees=tuple(
+                max(a.degrees[i] for a in acts)
+                for i in range(acts[0].nblocks)
+            ),
+        )
+        batch_b = ri.RadixCiphertext(
+            blocks=jnp.stack([b.blocks for b in bcts]),
+            params=self.params,
+            degrees=tuple(
+                max(b.degrees[i] for b in bcts)
+                for i in range(bcts[0].nblocks)
+            ),
+        )
+        if op in self.BINARY_OPS:
+            res = self.BINARY_OPS[op](self._sk, batch_a, batch_b)
+            out_t = ts
+        else:
+            res = self.CMP_OPS[op](self._sk, batch_a, batch_b)
+            out_t = [FHE_TYPES["ebool"]] * len(pairs)
+        handles = []
+        for i, t in enumerate(out_t):
+            if op in self.BINARY_OPS:
+                one = ri.RadixCiphertext(
+                    blocks=res.blocks[i], params=self.params, degrees=res.degrees
+                )
+            else:
+                one = si.Ciphertext(
+                    ct=res.ct[i], params=self.params,
+                    degree=res.degree, noise_level=res.noise_level,
+                )
+            handles.append(self._put(t, one))
+        return handles
 
     # -- internals --------------------------------------------------------------
 
