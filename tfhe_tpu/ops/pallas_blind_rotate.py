@@ -33,13 +33,13 @@ from jax.experimental import pallas as pl
 from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
     _condsub,
-    _limb_dtype,
     _mulhi_u32,
     shoup_mulmod,
 )
 from tfhe_tpu.ops.pallas_ntt import (
     PallasNttTables,
     _Z,
+    _limb_dtype,
     fwd_prime,
     inv_prime,
     make_fwd_rhs,

@@ -41,9 +41,17 @@ from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
     _balanced_digits_host,
     _condsub,
-    _limb_dtype,
     shoup_mulmod,
 )
+
+
+def _limb_dtype():
+    """Kernel digit-plane dtype: int8 on TPU (the MXU's fastest exact
+    path -- digit planes are balanced base-256, always in [-128, 127]);
+    f32 in interpret mode (CPU has no int8 dot thunk)."""
+    import jax as _jax
+
+    return jnp.int8 if _jax.default_backend() == "tpu" else jnp.float32
 from tfhe_tpu.ops.polynomial import _primitive_root
 
 U32 = jnp.uint32
@@ -179,16 +187,24 @@ def _recombine(blk, ctx, big, nb=4):
     return out
 
 
+def _acc_dtype(lhs):
+    # int8 digit planes accumulate exactly in i32 on the MXU (products
+    # <= 2^14, K <= 128 -> sums <= 2^21); bf16/f32 planes use f32
+    return jnp.int32 if lhs.dtype == jnp.int8 else jnp.float32
+
+
 def _dot(lhs, rhs):
     return jax.lax.dot_general(
-        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        lhs, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=_acc_dtype(lhs),
     )
 
 
 def _dot_nt(lhs, rhs):
     """lhs (M, K) @ rhs (N, K)^T: contraction on both minor dims."""
     return jax.lax.dot_general(
-        lhs, rhs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        lhs, rhs, (((1,), (1,)), ((), ())),
+        preferred_element_type=_acc_dtype(lhs),
     )
 
 
