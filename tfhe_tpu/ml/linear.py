@@ -71,11 +71,17 @@ class GlweLinearLayerExecutor:
         else:
             acc = (x_q.astype(np.float64) @ self.w_q.astype(np.float64))
             if fhe == FheMode.SIMULATE:
-                # analytic output perturbation standing in for crypto noise:
-                # the dominant error is the mod-switched storage rounding of
-                # half a quantization step
+                # analytic noise profile (noise.find_noise_profile, the
+                # closed-form analog of the reference's empirical
+                # noise_profiles keyed by params hash): std in units of the
+                # accumulator LSB, dominated by the output storage
+                # modulus-switch rounding
+                from tfhe_tpu.noise import find_noise_profile
+
+                std = find_noise_profile(self.params, x.shape[-1])
+                # the accumulator is scaled to the compute-bit LSB already
                 rs = np.random.RandomState(0)
-                acc = acc + rs.normal(0.0, 0.5, size=acc.shape).round()
+                acc = acc + rs.normal(0.0, std, size=acc.shape).round()
 
         # undo the input zero-point with the clear per-column weight sums
         w_col = self.w_q.sum(axis=0).astype(np.float64)

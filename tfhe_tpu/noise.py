@@ -128,3 +128,57 @@ def boolean_failure_probability(p: BooleanParams) -> float:
     std = math.sqrt(v)
     margin = Q / 16.0
     return math.erfc(margin / (std * math.sqrt(2.0)))
+
+
+# -- GLWE matmul noise profiles (reference C24) --------------------------------
+
+
+def matmul_output_variance(
+    params, inner_dim: int, w_abs_max: float = 127.0
+) -> float:
+    """Analytic output-LWE variance of the encrypted-clear matmul pipeline
+    (encrypt -> dot -> sample extract -> packing keyswitch -> modulus
+    switch), in absolute torus units.
+
+    The reference ships empirically measured profiles per inner dim
+    (noise_profiles/MANIFEST.json, keyed by params hash); this is the
+    closed-form equivalent. w_abs_max bounds the clear weights (the dot
+    against a clear polynomial scales encryption noise by ||w||_2 <=
+    w_abs_max * sqrt(inner_dim)).
+    """
+    n_poly = params.polynomial_size
+    k = params.glwe_dimension
+    enc_var = params.glwe_noise.variance_torus()
+    # dot with the clear operand: sum of inner_dim weighted noise coeffs
+    dot_var = enc_var * inner_dim * (w_abs_max**2) / 3.0  # E[w^2] ~ max^2/3
+    # packing keyswitch of the extracted LWE (dimension k*N)
+    pks_var = keyswitch_variance(
+        k * n_poly, params.packing_ks, params.packing_ks_noise.variance_torus()
+    )
+    # storage modulus switch rounding
+    tail = Q / (2.0**params.ct_modulus_out_bits)
+    ms_var = (tail**2) / 12.0 * (1.0 + k * n_poly * 0.25)
+    return dot_var + pks_var + ms_var
+
+
+def matmul_noise_profile(params, inner_dims=(2048, 4096, 8192)) -> dict:
+    """Noise profile dict keyed like the reference's MANIFEST.json:
+    {params_hash, profiles: {inner_dim: output_std_in_lsb}} where the
+    std is expressed in units of the output quantization step
+    (q / 2^bits_reserved_for_computation)."""
+    delta = Q / (2.0**params.bits_reserved_for_computation)
+    profiles = {}
+    for d in inner_dims:
+        std = math.sqrt(matmul_output_variance(params, d))
+        profiles[str(d)] = std / delta
+    return {"params_hash": params.hash, "profiles": profiles}
+
+
+def find_noise_profile(params, inner_dim: int) -> float:
+    """Output noise std (in output-quantization LSBs) for the given inner
+    dimension (reference utils_simulation.py:48-70 find_noise_profile --
+    nearest registered inner dim, analytic here)."""
+    dims = (2048, 4096, 8192)
+    nearest = min(dims, key=lambda d: abs(d - inner_dim))
+    prof = matmul_noise_profile(params, (nearest,))
+    return prof["profiles"][str(nearest)]
