@@ -156,15 +156,20 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
         )
     bv, bs = bsk_to_step_layout(bsk.bsk_ntt)
     rot_table = monomial_ntt_table(engine)  # (2N, P, 2, N)
-    step_fn = _fused_step(engine, bsk.gadget.base_log, bsk.shift, tm)
+    n_steps = bv.shape[0]
+    steps = next((k for k in (4, 2, 1) if n_steps % k == 0))  # CMux steps/call (8 exceeds VMEM)
+    step_fn = _fused_step(engine, bsk.gadget.base_log, bsk.shift, tm, steps)
     bp = b + pad
+    bv = bv.reshape(n_steps // steps, steps, *bv.shape[1:])
+    bs = bs.reshape(n_steps // steps, steps, *bs.shape[1:])
+    e = e.reshape(n_steps // steps, steps, bp)
 
     def body(carry, xs):
         clo, chi = carry
-        bvj, bsj, ej = xs
-        rows = rot_table[ej]  # (B, P, 2, N): NTT(X^{a_j} - 1) Shoup rows
-        rv = rows[:, :, 0, :].reshape(bp * 3, n_poly)
-        rs = rows[:, :, 1, :].reshape(bp * 3, n_poly)
+        bvj, bsj, ej = xs  # (steps, 12, N) x2, (steps, B)
+        rows = rot_table[ej]  # (steps, B, P, 2, N)
+        rv = rows[..., 0, :].reshape(steps, bp * 3, n_poly)
+        rs = rows[..., 1, :].reshape(steps, bp * 3, n_poly)
         clo, chi = step_fn(clo, chi, rv, rs, bvj, bsj)
         return (clo, chi), None
 
@@ -175,10 +180,12 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_step(engine, base_log: int, shift: int, tm: int):
+def _fused_step(engine, base_log: int, shift: int, tm: int, steps: int = 1):
     from tfhe_tpu.ops.pallas_blind_rotate import make_pallas_blind_rotate
 
-    return make_pallas_blind_rotate(engine, base_log, shift, tm=tm)
+    return make_pallas_blind_rotate(
+        engine, base_log, shift, tm=tm, steps=steps
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("engine",))

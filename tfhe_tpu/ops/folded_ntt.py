@@ -423,8 +423,15 @@ class FoldedCrtEngine:
         # gadget digits + inverse): they keep the 16x digit-block f32
         # intermediates in VMEM, where the XLA path is HBM-bound on them.
         # N >= 256 keeps R = 128: every kernel-internal reshape then has a
-        # 128-multiple minor dim (Mosaic requirement, ops/pallas_ntt.py)
-        self.use_pallas = jax.default_backend() == "tpu" and n >= 256
+        # 128-multiple minor dim (Mosaic requirement, ops/pallas_ntt.py).
+        # TFHE_TPU_NO_PALLAS=1 forces the pure-XLA path (debugging).
+        import os
+
+        self.use_pallas = (
+            jax.default_backend() == "tpu"
+            and n >= 256
+            and not os.environ.get("TFHE_TPU_NO_PALLAS")
+        )
         self._pallas_fwd = None
         self._pallas_inv = None
         if self.use_pallas:

@@ -83,15 +83,18 @@ def monomial_ntt_table(engine: FoldedCrtEngine):
 
 
 def make_pallas_blind_rotate(
-    engine: FoldedCrtEngine, base_log: int, shift: int, tm: int = 16
+    engine: FoldedCrtEngine, base_log: int, shift: int, tm: int = 16,
+    steps: int = 1,
 ):
     """Returns step(acc_lo, acc_hi, rotv, rots, bskv, bsks) -> (lo, hi):
       acc_*: (B*2, N) u32 planes of the GLWE accumulator (k+1 = 2)
-      rotv/rots: (B*3, N) u32 -- per-ciphertext NTT(X^{a_j} - 1) Shoup
-                 rows (ct-major, prime-minor), gathered from
+      rotv/rots: (steps, B*3, N) u32 -- per-ciphertext NTT(X^{a_j} - 1)
+                 Shoup rows (ct-major, prime-minor), gathered from
                  monomial_ntt_table by the caller
-      bskv/bsks: (12, N) u32 -- this step's GGSW in Shoup form, rows
+      bskv/bsks: (steps, 12, N) u32 -- the GGSWs in Shoup form, rows
                  ordered (prime, d, c) = i*4 + d*2 + c.
+    `steps` consecutive CMux steps run inside ONE kernel invocation so
+    the accumulator round-trips HBM once per `steps` instead of per step.
     """
     n = engine.n
     tables = PallasNttTables(engine)
@@ -119,35 +122,26 @@ def make_pallas_blind_rotate(
     sh = shift
     assert 0 <= sh < 32
 
-    def kernel(lo_ref, hi_ref, rv_ref, rs_ref, bv_ref, bs_ref,
-               v_t, wr_t, g_t, gs_t, wi_t, vi_t, gi_t, gis_t,
-               olo_ref, ohi_ref):
-        lo = lo_ref[:]  # (tm*2, N)
-        hi = hi_ref[:]
+    def _one_step(lo, hi, rv, rs, bv, bs):
         # decompose acc directly (level 1, base_log)
         dh2 = hi + half_hi
         state = (dh2 >> st_shift).astype(I32)
         d = state - jnp.where(state >= b_half, b_full, np.int32(0))
         # forward NTT of digits (rows = (ct, d)), 3 planes
         rhs1 = make_fwd_rhs(d, cd, rd, tm * 2, 3, ld)
-        rv = rv_ref[:].reshape(tm, 3, n)
-        rs = rs_ref[:].reshape(tm, 3, n)
         res = []
         for i in range(3):
             ctx = ctxs[i]
             fd = fwd_prime(
-                rhs1, i, v_t, wr_t, g_t, gs_t, ctx,
+                rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
                 cd, rd, tm * 2, 3, big_c, big_r, n,
             )  # (tm*2, N) u32 in [0, 2p)
             fdm = fd.reshape(tm, 2, n)
             outs = []
             for c in range(2):
-                t0 = shoup_mulmod(
-                    fdm[:, 0, :], bv_ref[4 * i + c], bs_ref[4 * i + c], ctx.pu
-                )
+                t0 = shoup_mulmod(fdm[:, 0, :], bv[4 * i + c], bs[4 * i + c], ctx.pu)
                 t1 = shoup_mulmod(
-                    fdm[:, 1, :], bv_ref[4 * i + 2 + c], bs_ref[4 * i + 2 + c],
-                    ctx.pu,
+                    fdm[:, 1, :], bv[4 * i + 2 + c], bs[4 * i + 2 + c], ctx.pu
                 )
                 s = _condsub(t0 + t1, ctx.two_p)  # EP in NTT domain
                 # rotation: pointwise (X^a - 1) multiply, per ciphertext
@@ -156,8 +150,8 @@ def make_pallas_blind_rotate(
             prodm = jnp.stack(outs, axis=1).reshape(tm * 2, n)
             res.append(
                 inv_prime(
-                    prodm.astype(I32), i, wi_t, vi_t, gi_t, gis_t, ctx,
-                    cd, rd, tm * 2, big_c, big_r, n, ld,
+                    prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                    i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
                 )
             )
         # Garner: residues -> u64 pair, centered, << shift
@@ -187,9 +181,24 @@ def make_pallas_blind_rotate(
         if sh:
             xh = (xh << np.uint32(sh)) | (xl >> np.uint32(32 - sh))
             xl = xl << np.uint32(sh)
-        ol, oh = _add_pair(lo, hi, xl, xh)
-        olo_ref[:] = ol
-        ohi_ref[:] = oh
+        return _add_pair(lo, hi, xl, xh)
+
+    v_tabs = [None] * 4
+    i_tabs = [None] * 4
+
+    def kernel(lo_ref, hi_ref, rv_ref, rs_ref, bv_ref, bs_ref,
+               v_t, wr_t, g_t, gs_t, wi_t, vi_t, gi_t, gis_t,
+               olo_ref, ohi_ref):
+        v_tabs[:] = [v_t, wr_t, g_t, gs_t]
+        i_tabs[:] = [wi_t, vi_t, gi_t, gis_t]
+        lo = lo_ref[:]  # (tm*2, N)
+        hi = hi_ref[:]
+        for s_idx in range(steps):
+            rv = rv_ref[s_idx].reshape(tm, 3, n)
+            rs = rs_ref[s_idx].reshape(tm, 3, n)
+            lo, hi = _one_step(lo, hi, rv, rs, bv_ref[s_idx], bs_ref[s_idx])
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
 
     t = tables
 
@@ -204,8 +213,8 @@ def make_pallas_blind_rotate(
             in_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
-                pl.BlockSpec((3 * tm, n), lambda i: (i, _Z)),
-                pl.BlockSpec((3 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
+                pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
                 full(t.v), full(t.wr), full(t.g), full(t.gs),
