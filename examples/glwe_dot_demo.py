@@ -34,8 +34,16 @@ def main():
     ref = (x.astype(np.int64) @ w)[0]
     print("decrypted dot products:", out[:6], "...")
     print("clear reference       :", ref[:6], "...")
-    assert np.array_equal(out, ref), "encrypted matmul mismatch"
-    print("exact match over", len(ref), "outputs")
+    # the compressed storage modulus (2^26) rounds outputs by design; the
+    # analytic profile bounds the residual (reference noise_profiles role)
+    from tfhe_tpu.noise import find_noise_profile
+
+    sigma = find_noise_profile(params, x.shape[1])
+    bound = 6.0 * sigma
+    err = np.abs(out - ref).max()
+    assert err <= bound, f"noise {err} exceeds 6-sigma bound {bound:.1f}"
+    print(f"max |error| {err} LSB within the 6-sigma profile bound "
+          f"({bound:.1f} LSB, sigma={sigma:.1f})")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,32 @@
+"""Examples stay runnable (subprocess, CPU, toy params)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, *args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYTHONPATH", None)
+    return subprocess.run(
+        [sys.executable, script, *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+
+
+def test_biometric_example():
+    r = _run("examples/biometric_auth.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "genuine probe accepted: True" in r.stdout
+
+
+def test_glwe_dot_demo():
+    r = _run("examples/glwe_dot_demo.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "profile bound" in r.stdout
