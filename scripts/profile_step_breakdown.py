@@ -1,0 +1,114 @@
+"""Subtractive timing breakdown of the fused blind-rotation step kernel.
+
+Builds the step kernel with pieces skipped (_skip sets) and times each
+variant at the flagship shape (full fhevm params, batch 512, steps=4).
+The delta between variants attributes wall time to the forward NTT,
+external product + rotation, inverse NTT, and Garner recombination.
+
+Measurement rules per PERF_NOTES.md: work sized >= 500 ms, sync via a
+host read (block_until_ready does not wait on the axon backend).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tfhe_tpu import params as tp
+from tfhe_tpu.models import shortint as si
+from tfhe_tpu.ops.pallas_blind_rotate import (
+    bsk_to_step_layout,
+    make_pallas_blind_rotate,
+    monomial_ntt_table,
+)
+from tfhe_tpu.rng import FheRng
+
+P = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+BATCH = 512
+STEPS = 4
+N_CALLS = 55  # 220 CMux steps per timing rep
+
+
+def main():
+    engine = si.engine_for(P)
+    ck, sk = si.keygen(P, seed=1)
+    bsk = sk.bsk
+    n = engine.n
+    tm = 16
+
+    bv, bs = bsk_to_step_layout(bsk.bsk_ntt)
+    table = monomial_ntt_table(engine)
+    rng = np.random.default_rng(0)
+    b2 = BATCH * 2
+    lo = jnp.asarray(rng.integers(0, 2**32, (b2, n)), dtype=jnp.uint32)
+    hi = jnp.asarray(rng.integers(0, 2**32, (b2, n)), dtype=jnp.uint32)
+    e = rng.integers(0, 2 * n, (STEPS, BATCH))
+    rows = table[jnp.asarray(e)]  # (STEPS, B, 3, 2, N)
+    rv = rows[..., 0, :].reshape(STEPS, BATCH * 3, n)
+    rs = rows[..., 1, :].reshape(STEPS, BATCH * 3, n)
+    bvj, bsj = bv[:STEPS], bs[:STEPS]
+
+    def sync(x):
+        jax.device_get(x[0].ravel()[:1] if isinstance(x, tuple) else x.ravel()[:1])
+
+    variants = [
+        ("full", frozenset()),
+        ("no_garner", frozenset({"garner"})),
+        ("no_rot", frozenset({"rot"})),
+        ("no_inv_garner", frozenset({"inv", "garner"})),
+        ("no_ep_inv_garner", frozenset({"ep", "inv", "garner"})),
+        ("fwd_skipped", frozenset({"fwd"})),
+        ("only_decomp", frozenset({"fwd", "ep", "inv", "garner"})),
+    ]
+    results = {}
+    for name, skip in variants:
+        step = make_pallas_blind_rotate(
+            engine, bsk.gadget.base_log, bsk.shift, tm=tm, steps=STEPS,
+            _skip=skip,
+        )
+
+        @jax.jit
+        def many(lo, hi, rv, rs, bvj, bsj, _step=step):
+            def body(c, _):
+                l, h = _step(c[0], c[1], rv, rs, bvj, bsj)
+                return (l, h), None
+            (l, h), _ = jax.lax.scan(body, (lo, hi), None, length=N_CALLS)
+            return l, h
+
+        out = many(lo, hi, rv, rs, bvj, bsj)
+        sync(out)
+        t0 = time.time()
+        out = many(lo, hi, rv, rs, bvj, bsj)
+        sync(out)
+        dt = time.time() - t0
+        ms_per_step = 1000.0 * dt / (N_CALLS * STEPS)
+        results[name] = ms_per_step
+        print(f"{name:20s} {ms_per_step:7.3f} ms/step", flush=True)
+
+    f = results.get("full")
+    print("\n-- attribution (ms/step of %.3f total) --" % f)
+    if "no_garner" in results:
+        print(f"garner:   {f - results['no_garner']:.3f}")
+    if "no_rot" in results:
+        print(f"rot:      {f - results['no_rot']:.3f}")
+    if "no_inv_garner" in results and "no_garner" in results:
+        print(f"inverse:  {results['no_garner'] - results['no_inv_garner']:.3f}")
+    if "no_ep_inv_garner" in results and "no_inv_garner" in results:
+        print(f"ep+rot:   {results['no_inv_garner'] - results['no_ep_inv_garner']:.3f}")
+    if "fwd_skipped" in results:
+        print(f"forward:  {f - results['fwd_skipped']:.3f}")
+    if "only_decomp" in results:
+        print(f"decomp+overhead: {results['only_decomp']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

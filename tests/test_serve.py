@@ -43,15 +43,31 @@ def test_encrypt_evaluate_decrypt(client, t, v):
     h2 = client.encrypt(3, t)["handle"]
     hs = client.evaluate("add", h1, h2)["handle"]
     bits = int(t[5:])
+    client.allow(hs)  # explicit allowForDecryption, as on-chain
     assert client.decrypt(hs) == (v + 3) % (1 << bits)
+
+
+def test_decrypt_requires_allowance(client):
+    """/decrypt must NOT self-grant the decryption allowance it checks
+    (reference publicDecrypt.ts:215-217 gates on a pre-existing grant)."""
+    h1 = client.encrypt(4, "euint8")["handle"]
+    h2 = client.encrypt(4, "euint8")["handle"]
+    hs = client.evaluate("add", h1, h2)["handle"]
+    with pytest.raises(FheClientError) as e:
+        client.decrypt(hs)
+    assert e.value.code == 403
+    client.allow(hs)
+    assert client.decrypt(hs) == 8
 
 
 def test_evaluate_comparison_and_select(client):
     h1 = client.encrypt(5, "euint8")["handle"]
     h2 = client.encrypt(9, "euint8")["handle"]
     hlt = client.evaluate("lt", h1, h2)["handle"]
+    client.allow(hlt)
     assert client.decrypt(hlt) == 1
     hsel = client.evaluate("select", hlt, h1, h2)["handle"]
+    client.allow(hsel)
     assert client.decrypt(hsel) == 5
 
 

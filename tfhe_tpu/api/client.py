@@ -38,11 +38,16 @@ class FheClient:
             h["Authorization"] = f"Bearer {self.api_key}"
         return h
 
-    def _request(self, req):
+    def _request(self, req, idempotent: bool = True):
         """Bounded retries on transport errors and 5xx (4xx raise
-        immediately -- client errors do not heal with retries)."""
+        immediately -- client errors do not heal with retries).
+
+        Non-idempotent requests (state-changing POSTs like /evaluate or
+        /encrypt) are never retried automatically: a timed-out request may
+        have executed server-side, and a resend would double-execute."""
         last = None
-        for attempt in range(self.retries + 1):
+        retries = self.retries if idempotent else 0
+        for attempt in range(retries + 1):
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as r:
                     return json.loads(r.read())
@@ -65,14 +70,14 @@ class FheClient:
         req = urllib.request.Request(self.base + path, headers=self._headers())
         return self._request(req)
 
-    def _post(self, path: str, body: dict):
+    def _post(self, path: str, body: dict, idempotent: bool = False):
         req = urllib.request.Request(
             self.base + path,
             data=json.dumps(body).encode(),
             headers=self._headers(),
             method="POST",
         )
-        return self._request(req)
+        return self._request(req, idempotent=idempotent)
 
     def health(self):
         return self._get("/health")
@@ -108,14 +113,21 @@ class FheClient:
         sargs = [a if isinstance(a, str) else str(a) for a in args]
         return self._post("/evaluate", {"op": op, "args": sargs})
 
+    def allow(self, handle: str, account: str | None = None, for_decryption: bool = True):
+        body = {"handle": handle, "forDecryption": for_decryption}
+        if account:
+            body["account"] = account
+        return self._post("/allow", body, idempotent=True)
+
     def decrypt(self, handle: str):
-        return int(self._post("/decrypt", {"handle": handle})["value"])
+        # reads don't mutate coprocessor state: safe to retry
+        return int(self._post("/decrypt", {"handle": handle}, idempotent=True)["value"])
 
     def verify(self, handles: list):
-        return self._post("/verify", {"handles": handles})["valid"]
+        return self._post("/verify", {"handles": handles}, idempotent=True)["valid"]
 
     def public_decrypt(self, handles: list):
-        return self._post("/public-decrypt", {"handles": handles})
+        return self._post("/public-decrypt", {"handles": handles}, idempotent=True)
 
     def user_decrypt(self, pairs: list, user: str):
         return self._post(

@@ -63,6 +63,40 @@ class FhevmHandle:
             hash21=h[:21], index=index, chain_id=chain_id, type_id=type_id
         )
 
+    @staticmethod
+    def from_op(
+        op: str,
+        operands: list,
+        chain_id: int,
+        type_id: int,
+    ) -> "FhevmHandle":
+        """Deterministic RESULT-handle derivation (the symbolic-execution
+        convention of reference FhevmHandle.ts:203-215: on-chain FHE ops
+        compute the result handle as a keccak over the op and operands, so
+        replaying an op sequence reproduces identical handles and the
+        coprocessor can execute asynchronously against them).
+
+        operands: 32-byte handles are hashed as-is with a 0x00 tag;
+        ints/str are canonicalized to 32 bytes with a 0x01 scalar tag
+        (the reference's scalarByte flag).
+        """
+        enc = [b"FHE-op", op.encode(), bytes([len(operands)])]
+        for o in operands:
+            if isinstance(o, bytes):
+                assert len(o) == 32
+                enc.append(b"\x00" + o)
+            elif isinstance(o, int):
+                enc.append(b"\x01" + (o % (1 << 256)).to_bytes(32, "big"))
+            else:  # e.g. a type name for casts
+                s = str(o).encode()
+                enc.append(b"\x02" + bytes([len(s)]) + s)
+        enc.append(chain_id.to_bytes(8, "big"))
+        enc.append(bytes([type_id & 0xFF, HANDLE_VERSION]))
+        h = keccak256(b"".join(enc))
+        return FhevmHandle(
+            hash21=h[:21], index=0, chain_id=chain_id, type_id=type_id
+        )
+
     def hex(self) -> str:
         return "0x" + self.to_bytes32().hex()
 

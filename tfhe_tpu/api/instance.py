@@ -16,7 +16,6 @@ split over the wire for ecosystem parity.
 from __future__ import annotations
 
 import dataclasses
-import secrets
 from typing import Optional
 
 import numpy as np
@@ -138,6 +137,9 @@ class FhevmInstance:
         self.acl = Acl()
         self._store: dict[bytes, tuple] = {}
         self._rand_rng = FheRng(seed + 2)
+        # deterministic encrypted-rand stream (see _next_rand)
+        self._rand_seed = seed.to_bytes(16, "big", signed=False)
+        self._rand_counter = 0
 
     # -- client surface ----------------------------------------------------
 
@@ -222,9 +224,9 @@ class FhevmInstance:
                 b_t = a_t
             if op in self.BINARY_OPS:
                 res = self.BINARY_OPS[op](self._sk, a, b)
-                return self._put(a_t, res)
+                return self._put(a_t, res, op, list(args[:2]))
             res = self.CMP_OPS[op](self._sk, a, b)
-            return self._put(FHE_TYPES["ebool"], res)
+            return self._put(FHE_TYPES["ebool"], res, op, list(args[:2]))
         if op in ("div", "rem"):
             a_t, a = self._get_radix(args[0])
             if isinstance(args[1], bytes):
@@ -234,7 +236,7 @@ class FhevmInstance:
                 res = (ri.scalar_div if op == "div" else ri.scalar_rem)(
                     self._sk, a, int(args[1])
                 )
-            return self._put(a_t, res)
+            return self._put(a_t, res, op, list(args[:2]))
         if op in self.SHIFT_OPS:
             a_t, a = self._get_radix(args[0])
             if isinstance(args[1], bytes):  # encrypted shift amount
@@ -244,36 +246,54 @@ class FhevmInstance:
                 res = enc(self._sk, a, amt)
             else:
                 res = self.SHIFT_OPS[op](self._sk, a, int(args[1]))
-            return self._put(a_t, res)
+            return self._put(a_t, res, op, list(args[:2]))
         if op == "not":
             a_t, a = self._get_radix(args[0])
-            return self._put(a_t, ri.bitnot(self._sk, a))
+            return self._put(a_t, ri.bitnot(self._sk, a), op, [args[0]])
         if op == "neg":
             a_t, a = self._get_radix(args[0])
-            return self._put(a_t, ri.neg(self._sk, a))
+            return self._put(a_t, ri.neg(self._sk, a), op, [args[0]])
         if op == "select":
             c_t, c = self._store[args[0]]
             assert c_t.name == "ebool"
             a_t, a = self._get_radix(args[1])
             _, b = self._get_radix(args[2])
-            return self._put(a_t, ri.select(self._sk, c, a, b))
+            return self._put(a_t, ri.select(self._sk, c, a, b), op, list(args[:3]))
         if op == "cast":
             a_t, a = self._get_radix(args[0])
             target = FHE_TYPES[args[1]]
-            return self._put(target, ri.cast(self._sk, a, target.bits))
+            return self._put(target, ri.cast(self._sk, a, target.bits), op, [args[0], args[1]])
         if op == "randBounded":
             t = FHE_TYPES[args[1]]
             upper = int(args[0])
-            v = int.from_bytes(secrets.token_bytes(32), "big") % upper
-            return self._put(t, self._pk_encrypt_value(t, v))
+            v = self._next_rand() % upper
+            return self._put(
+                t, self._pk_encrypt_value(t, v), op,
+                [upper, args[1], self._rand_counter],
+            )
         if op == "rand":
             t = FHE_TYPES[args[0]]
             upper = args[1] if len(args) > 1 else None
-            v = int.from_bytes(secrets.token_bytes(32), "big")
+            v = self._next_rand()
             v %= upper if upper else (1 << t.bits)
             ct = self._pk_encrypt_value(t, v)
-            return self._put(t, ct)
+            return self._put(t, ct, op, [args[0], self._rand_counter])
         raise ValueError(f"unknown op {op}")
+
+    def _next_rand(self) -> int:
+        """Deterministic encrypted-rand stream: keccak(seed || counter),
+        reproducing the reference's per-tx seeded on-chain rand semantics
+        (contracts/Rand.sol) -- two instances with the same seed replay
+        the same rand sequence and (via the counter in the handle
+        derivation) the same handles. Round-1 used host `secrets`, which
+        made encrypted rand irreproducible."""
+        from tfhe_tpu.utils.keccak import keccak256
+
+        self._rand_counter += 1
+        return int.from_bytes(
+            keccak256(self._rand_seed + self._rand_counter.to_bytes(8, "big")),
+            "big",
+        )
 
     def fhe_op_many(self, op: str, pairs: list) -> list:
         """Batched coprocessor execution: one device program for MANY
@@ -336,7 +356,7 @@ class FhevmInstance:
                     ct=res.ct[i], params=self.params,
                     degree=res.degree, noise_level=res.noise_level,
                 )
-            handles.append(self._put(t, one))
+            handles.append(self._put(t, one, op, list(pairs[i][:2])))
         return handles
 
     # -- internals --------------------------------------------------------------
@@ -364,13 +384,13 @@ class FhevmInstance:
         assert isinstance(ct, ri.RadixCiphertext), f"{t.name} is not a radix type"
         return t, ct
 
-    def _put(self, t: FheType, ct) -> bytes:
-        h = FhevmHandle(
-            hash21=secrets.token_bytes(21),
-            index=0,
-            chain_id=self.chain_id,
-            type_id=t.type_id,
-        ).to_bytes32()
+    def _put(self, t: FheType, ct, op: str, operands: list) -> bytes:
+        """Store `ct` under its DETERMINISTIC result handle: keccak over
+        (op, operands, chainId, version). Replaying an op sequence
+        reproduces identical handles (reference FhevmHandle.ts:203-215
+        symbolic execution -- round-1 used random handles, which broke
+        replay parity)."""
+        h = FhevmHandle.from_op(op, operands, self.chain_id, t.type_id).to_bytes32()
         self._store[h] = (t, ct)
         return h
 

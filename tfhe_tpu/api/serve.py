@@ -15,6 +15,7 @@ FhevmInstance.
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -106,9 +107,13 @@ class FheServer:
 
     def decrypt(self, body):
         h = bytes.fromhex(body["handle"][2:])
-        # server-side decrypt endpoint (reference /decrypt): gate on ACL
-        self.instance.acl.allow_for_decryption(h)
-        v = self.instance.public_decrypt([h])["0x" + h.hex()]
+        # gate on a PRE-EXISTING decryption allowance (reference
+        # publicDecrypt.ts:215-217 checks isAllowedForDecryption); the
+        # endpoint must never grant itself the allowance it checks
+        try:
+            v = self.instance.public_decrypt([h])["0x" + h.hex()]
+        except PermissionError as e:
+            raise ApiError(403, str(e))
         return {"value": str(v)}
 
     def public_decrypt(self, body):
@@ -129,6 +134,20 @@ class FheServer:
         except PermissionError as e:
             raise ApiError(403, str(e))
         return {"values": [str(v) for v in vals]}
+
+    def allow(self, body):
+        """ACL grants (reference IFHENetwork.sol:10-51 allow /
+        allowForDecryption): the tx sender marks handles decryptable or
+        shares them with an account."""
+        h = bytes.fromhex(body["handle"][2:])
+        if h not in self.instance._store:
+            raise ApiError(404, "unknown handle")
+        if body.get("forDecryption", True):
+            self.instance.acl.allow_for_decryption(h)
+        account = body.get("account")
+        if account:
+            self.instance.acl.allow(h, account)
+        return {"ok": True}
 
     def verify(self, body):
         """Input-proof verification (reference /verify and /input-proof):
@@ -155,6 +174,7 @@ def _make_handler(server: FheServer):
         "/encrypt": server.encrypt,
         "/evaluate": server.evaluate,
         "/decrypt": server.decrypt,
+        "/allow": server.allow,
         "/verify": server.verify,
         "/input-proof": server.verify,
         "/public-decrypt": server.public_decrypt,
@@ -166,12 +186,15 @@ def _make_handler(server: FheServer):
             pass
 
         def _authed(self) -> bool:
+            # constant-time comparisons: the API key is a secret
             if server.api_key is None:
                 return True
             auth = self.headers.get("Authorization", "")
-            if auth == f"Bearer {server.api_key}":
+            if hmac.compare_digest(auth, f"Bearer {server.api_key}"):
                 return True
-            return self.headers.get("x-api-key") == server.api_key
+            return hmac.compare_digest(
+                self.headers.get("x-api-key", ""), server.api_key
+            )
 
         def _reply(self, code: int, obj):
             data = json.dumps(obj).encode()
@@ -182,11 +205,12 @@ def _make_handler(server: FheServer):
             self.wfile.write(data)
 
         def do_GET(self):
+            # auth first: unauthenticated callers learn nothing about routes
+            if not self._authed():
+                return self._reply(401, {"error": "unauthorized"})
             fn = routes_get.get(self.path)
             if fn is None:
                 return self._reply(404, {"error": f"no route {self.path}"})
-            if not self._authed():
-                return self._reply(401, {"error": "unauthorized"})
             try:
                 self._reply(200, fn())
             except ApiError as e:
@@ -195,11 +219,11 @@ def _make_handler(server: FheServer):
                 self._reply(500, {"error": str(e)})
 
         def do_POST(self):
+            if not self._authed():
+                return self._reply(401, {"error": "unauthorized"})
             fn = routes_post.get(self.path)
             if fn is None:
                 return self._reply(404, {"error": f"no route {self.path}"})
-            if not self._authed():
-                return self._reply(401, {"error": "unauthorized"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")

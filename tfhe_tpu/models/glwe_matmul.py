@@ -138,7 +138,18 @@ def matrix_multiplication(
     p = enc.params
     n = p.polynomial_size
     engine = get_engine(n)
-    w = jnp.asarray(clear)
+    w = np.asarray(clear)
+    # forward_small's digit planes are exact only for |w| <= 2^23
+    # (ops/folded_ntt.forward_small); larger weights would silently wrap
+    # into wrong decrypts, so reject them here. Quantized weights are
+    # far smaller (reference fhext_classes.rs:100-114 budgets 27 bits
+    # for the whole input x weight product).
+    if np.abs(w.astype(np.int64)).max(initial=0) > (1 << 23):
+        raise ValueError(
+            "matrix_multiplication: |clear| entries must be <= 2^23 "
+            "(quantized-weight contract; see forward_small)"
+        )
+    w = jnp.asarray(w)
     c, o = w.shape
     assert c == enc.n_valid
     r = enc.shape[0]

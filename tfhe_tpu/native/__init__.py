@@ -28,7 +28,12 @@ def _build() -> str | None:
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
     cc = os.environ.get("CC", "cc")
-    tmp = tempfile.mktemp(suffix=".so", dir=_HERE)
+    # per-pid temp name (no mktemp TOCTOU): concurrent builders each
+    # compile their own file; os.replace makes the install atomic
+    fd, tmp = tempfile.mkstemp(
+        suffix=f".{os.getpid()}.so", prefix="_tfhe_native_", dir=_HERE
+    )
+    os.close(fd)
     cmd = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

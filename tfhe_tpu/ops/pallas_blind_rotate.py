@@ -84,7 +84,7 @@ def monomial_ntt_table(engine: FoldedCrtEngine):
 
 def make_pallas_blind_rotate(
     engine: FoldedCrtEngine, base_log: int, shift: int, tm: int = 16,
-    steps: int = 1,
+    steps: int = 1, _skip: frozenset = frozenset(),
 ):
     """Returns step(acc_lo, acc_hi, rotv, rots, bskv, bsks) -> (lo, hi):
       acc_*: (B*2, N) u32 planes of the GLWE accumulator (k+1 = 2)
@@ -132,22 +132,32 @@ def make_pallas_blind_rotate(
         res = []
         for i in range(3):
             ctx = ctxs[i]
-            fd = fwd_prime(
-                rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
-                cd, rd, tm * 2, 3, big_c, big_r, n,
-            )  # (tm*2, N) u32 in [0, 2p)
+            if "fwd" in _skip:
+                fd = d.astype(U32)
+            else:
+                fd = fwd_prime(
+                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
+                    cd, rd, tm * 2, 3, big_c, big_r, n,
+                )  # (tm*2, N) u32 in [0, 2p)
             fdm = fd.reshape(tm, 2, n)
             outs = []
             for c in range(2):
+                if "ep" in _skip:
+                    outs.append(_condsub(fdm[:, c, :], ctx.pu))
+                    continue
                 t0 = shoup_mulmod(fdm[:, 0, :], bv[4 * i + c], bs[4 * i + c], ctx.pu)
                 t1 = shoup_mulmod(
                     fdm[:, 1, :], bv[4 * i + 2 + c], bs[4 * i + 2 + c], ctx.pu
                 )
                 s = _condsub(t0 + t1, ctx.two_p)  # EP in NTT domain
                 # rotation: pointwise (X^a - 1) multiply, per ciphertext
-                s = shoup_mulmod(s, rv[:, i, :], rs[:, i, :], ctx.pu)
+                if "rot" not in _skip:
+                    s = shoup_mulmod(s, rv[:, i, :], rs[:, i, :], ctx.pu)
                 outs.append(_condsub(_condsub(s, ctx.two_p), ctx.pu))
             prodm = jnp.stack(outs, axis=1).reshape(tm * 2, n)
+            if "inv" in _skip:
+                res.append(prodm)
+                continue
             res.append(
                 inv_prime(
                     prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
@@ -156,6 +166,8 @@ def make_pallas_blind_rotate(
             )
         # Garner: residues -> u64 pair, centered, << shift
         r1, r2, r3 = res
+        if "garner" in _skip:
+            return _add_pair(lo, hi, r1, _condsub(r2 + r3, ctxs[2].two_p))
         c2, c3 = ctxs[1], ctxs[2]
         v1 = r1
         w, ws, _ = g_inv12

@@ -45,9 +45,13 @@ def _meta_of(obj) -> dict:
         return {"__tuple__": [_meta_of(x) for x in obj]}
     if isinstance(obj, dict):
         # sorted keys: jax.tree_util.tree_leaves flattens dicts in sorted
-        # key order, and array payloads must line up with it
+        # key order, and array payloads must line up with it. str keys
+        # only: non-str keys would silently change type on round-trip
+        # (and mixed-type keys make sorted() raise).
+        if not all(isinstance(k, str) for k in obj):
+            raise TypeError("serialize: dict keys must be str")
         return {
-            "__dict__": {str(k): _meta_of(obj[k]) for k in sorted(obj)}
+            "__dict__": {k: _meta_of(obj[k]) for k in sorted(obj)}
         }
     if isinstance(obj, (jax.Array, np.ndarray)):
         return {"__array__": True}
