@@ -60,15 +60,17 @@ def main():
     def sync(x):
         jax.device_get(x[0].ravel()[:1] if isinstance(x, tuple) else x.ravel()[:1])
 
-    variants = [
-        ("full", frozenset()),
-        ("no_garner", frozenset({"garner"})),
-        ("no_rot", frozenset({"rot"})),
-        ("no_inv_garner", frozenset({"inv", "garner"})),
-        ("no_ep_inv_garner", frozenset({"ep", "inv", "garner"})),
-        ("fwd_skipped", frozenset({"fwd"})),
-        ("only_decomp", frozenset({"fwd", "ep", "inv", "garner"})),
-    ]
+    all_variants = {
+        "full": frozenset(),
+        "no_garner": frozenset({"garner"}),
+        "no_rot": frozenset({"rot"}),
+        "no_inv_garner": frozenset({"inv", "garner"}),
+        "no_ep_inv_garner": frozenset({"ep", "inv", "garner"}),
+        "fwd_skipped": frozenset({"fwd"}),
+        "only_decomp": frozenset({"fwd", "ep", "inv", "garner"}),
+    }
+    names = sys.argv[1:] or list(all_variants)
+    variants = [(n, all_variants[n]) for n in names]
     results = {}
     for name, skip in variants:
         step = make_pallas_blind_rotate(
@@ -94,20 +96,7 @@ def main():
         results[name] = ms_per_step
         print(f"{name:20s} {ms_per_step:7.3f} ms/step", flush=True)
 
-    f = results.get("full")
-    print("\n-- attribution (ms/step of %.3f total) --" % f)
-    if "no_garner" in results:
-        print(f"garner:   {f - results['no_garner']:.3f}")
-    if "no_rot" in results:
-        print(f"rot:      {f - results['no_rot']:.3f}")
-    if "no_inv_garner" in results and "no_garner" in results:
-        print(f"inverse:  {results['no_garner'] - results['no_inv_garner']:.3f}")
-    if "no_ep_inv_garner" in results and "no_inv_garner" in results:
-        print(f"ep+rot:   {results['no_inv_garner'] - results['no_ep_inv_garner']:.3f}")
-    if "fwd_skipped" in results:
-        print(f"forward:  {f - results['fwd_skipped']:.3f}")
-    if "only_decomp" in results:
-        print(f"decomp+overhead: {results['only_decomp']:.3f}")
+    print("RESULTS " + " ".join(f"{k}={v:.3f}" for k, v in results.items()))
 
 
 if __name__ == "__main__":

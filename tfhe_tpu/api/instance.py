@@ -21,6 +21,7 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
+from tfhe_tpu.api import attestation
 from tfhe_tpu.api.acl import Acl
 from tfhe_tpu.api.handles import FhevmHandle
 from tfhe_tpu.api.public_key import CompactPublicKey, gen_public_key, pk_encrypt_blocks
@@ -99,7 +100,13 @@ class EncryptedInput:
 
     def encrypt(self) -> dict:
         """Public-key encrypt all values, register ciphertexts with the
-        coprocessor store, return handles + serialized blob."""
+        coprocessor store, and return handles + a REAL input proof:
+        the coprocessor signer quorum signs an EIP-712
+        CiphertextVerification over the recomputed handles, the client
+        verifies every signature against the known signer set and the
+        threshold, and the proof is assembled as
+        nHandles || nSigners || handles || sigs || extraData
+        (reference sendEncryption.ts:328-441, encrypt.ts:174-189)."""
         inst = self._inst
         handles = []
         cts = []
@@ -116,6 +123,7 @@ class EncryptedInput:
                 idx,
                 t.type_id,
                 inst.chain_id,
+                acl_address=bytes.fromhex(inst.acl_address[2:].rjust(40, "0")),
                 contract_address=bytes.fromhex(self._contract[2:].rjust(40, "0")),
                 user_address=bytes.fromhex(self._user[2:].rjust(40, "0")),
             )
@@ -124,7 +132,18 @@ class EncryptedInput:
             inst.acl.allow(hb, self._contract)
             inst.acl.allow(hb, self._user)
             handles.append(hb)
-        return {"handles": handles, "inputProof": blob[:64] + len(blob).to_bytes(8, "big")}
+        # coprocessor side: quorum signs the handle set
+        sigs = inst.coprocessor.sign_handles(
+            handles, self._user, self._contract, b"\x00", inst.chain_id
+        )
+        proof = attestation.assemble_input_proof(handles, sigs, b"\x00")
+        # client side: cross-check + threshold verification (fail closed)
+        signers, threshold = inst.get_coprocessor_signers()
+        attestation.verify_input_proof(
+            proof, handles, signers, threshold, self._user, self._contract,
+            inst.chain_id, inst.coprocessor.verifying_contract,
+        )
+        return {"handles": handles, "inputProof": proof}
 
 
 class FhevmInstance:
@@ -140,6 +159,19 @@ class FhevmInstance:
         # deterministic encrypted-rand stream (see _next_rand)
         self._rand_seed = seed.to_bytes(16, "big", signed=False)
         self._rand_counter = 0
+        # ACL contract address bound into input-handle aux data
+        # (reference encrypt.ts:174-184 auxData = contract||user||acl||chainId)
+        self.acl_address = "0x" + "ac" * 20
+        # coprocessor signer quorum (reference discovers signer addresses
+        # + threshold from the input-verifier contract, config.ts:24-27)
+        self.coprocessor = attestation.CoprocessorQuorum.generate(
+            n=4, threshold=3, seed=b"coproc" + seed.to_bytes(8, "big")
+        )
+
+    def get_coprocessor_signers(self) -> tuple[list, int]:
+        """Signer-set discovery (reference getCoprocessorSigners /
+        getCoprocessorSignersThreshold, config.ts:24-27)."""
+        return self.coprocessor.addresses, self.coprocessor.threshold
 
     # -- client surface ----------------------------------------------------
 

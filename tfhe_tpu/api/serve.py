@@ -20,6 +20,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from tfhe_tpu.api import attestation
 from tfhe_tpu.api.instance import FhevmInstance
 from tfhe_tpu.api.types import FHE_TYPES
 from tfhe_tpu.utils import serialization
@@ -149,12 +150,53 @@ class FheServer:
             self.instance.acl.allow(h, account)
         return {"ok": True}
 
-    def verify(self, body):
-        """Input-proof verification (reference /verify and /input-proof):
-        recompute handles from the blob and check they're registered."""
+    def input_proof(self, body):
+        """Coprocessor signing endpoint (reference fetchPostInputProof,
+        sendEncryption.ts:340): handles must be registered, then each
+        quorum signer returns its EIP-712 CiphertextVerification
+        signature and the assembled inputProof."""
         handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
-        known = all(h in self.instance._store for h in handles)
-        return {"valid": bool(known)}
+        if not all(h in self.instance._store for h in handles):
+            raise ApiError(404, "unknown handle in proof request")
+        user = body.get("user", "0x" + "00" * 20)
+        contract = body.get("contract", "0x" + "00" * 20)
+        sigs = self.instance.coprocessor.sign_handles(
+            handles, user, contract, b"\x00", self.instance.chain_id
+        )
+        proof = attestation.assemble_input_proof(handles, sigs, b"\x00")
+        signers, threshold = self.instance.get_coprocessor_signers()
+        return {
+            "inputProof": proof.hex(),
+            "signatures": [s.hex() for s in sigs],
+            "signers": signers,
+            "threshold": threshold,
+        }
+
+    def verify(self, body):
+        """Input-proof verification (reference /verify): with an
+        inputProof present, verify signatures against the quorum and the
+        threshold; otherwise fall back to store membership."""
+        handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
+        if not all(h in self.instance._store for h in handles):
+            return {"valid": False}
+        proof_hex = body.get("inputProof")
+        if proof_hex is None:
+            return {"valid": True}
+        signers, threshold = self.instance.get_coprocessor_signers()
+        try:
+            attestation.verify_input_proof(
+                bytes.fromhex(proof_hex.removeprefix("0x")),
+                handles,
+                signers,
+                threshold,
+                body.get("user", "0x" + "00" * 20),
+                body.get("contract", "0x" + "00" * 20),
+                self.instance.chain_id,
+                self.instance.coprocessor.verifying_contract,
+            )
+        except attestation.InputProofError as e:
+            return {"valid": False, "reason": str(e)}
+        return {"valid": True}
 
 
 class ApiError(Exception):
@@ -176,7 +218,7 @@ def _make_handler(server: FheServer):
         "/decrypt": server.decrypt,
         "/allow": server.allow,
         "/verify": server.verify,
-        "/input-proof": server.verify,
+        "/input-proof": server.input_proof,
         "/public-decrypt": server.public_decrypt,
         "/user-decrypt": server.user_decrypt,
     }
