@@ -1,0 +1,122 @@
+"""Shamir t-of-n threshold decryption: correctness, absentees, corrupted
+shares, signature verification (VERDICT round-1 item 5; reference
+userDecrypt.ts:209-246, oracle.proto signed responses).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import params as tp
+from tfhe_tpu.api import shamir
+from tfhe_tpu.core.keys import gen_lwe_secret_key
+from tfhe_tpu.core.lwe import encrypt_lwe
+from tfhe_tpu.params import NoiseDistribution
+from tfhe_tpu.rng import FheRng
+from tfhe_tpu.torus import encode
+
+U64 = jnp.uint64
+P = tp.TOY_SHORTINT
+MOD = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = FheRng(77)
+    sk = gen_lwe_secret_key(rng, 64)
+    shares = shamir.share_secret_key(np.asarray(sk.key), 5, 3, b"fixture")
+    msg = 11
+    ct = encrypt_lwe(
+        sk, encode(jnp.asarray(msg, dtype=U64), P.delta), rng,
+        NoiseDistribution.tuniform(10),
+    )
+    ct = np.asarray(ct)
+    addrs = [s.address for s in shares]
+    return sk, shares, addrs, ct, msg
+
+
+def _partials(shares, ct, idx, nonce=b"req1"):
+    return [shamir.partial_decrypt(ct, shares[i], nonce=nonce) for i in idx]
+
+
+def test_all_parties(setup):
+    _, shares, addrs, ct, msg = setup
+    ps = _partials(shares, ct, range(5))
+    assert shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1") == msg
+
+
+def test_two_absentees(setup):
+    """t=3, n=5 with parties 1 and 3 missing: still decrypts."""
+    _, shares, addrs, ct, msg = setup
+    ps = _partials(shares, ct, [0, 2, 4])
+    assert shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1") == msg
+
+
+def test_every_3_subset(setup):
+    _, shares, addrs, ct, msg = setup
+    import itertools
+
+    for idx in itertools.combinations(range(5), 3):
+        ps = _partials(shares, ct, idx)
+        assert shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1") == msg
+
+
+def test_corrupted_share_detected_and_tolerated(setup):
+    """2 absent + 1 corrupted among 4 received: the bad share is dropped
+    by signature verification and the remaining 3 recombine correctly
+    ... wait, 2 absent leaves 3; corrupt one of an extra -- run with
+    4 received, 1 corrupted -> 3 valid -> success."""
+    _, shares, addrs, ct, msg = setup
+    ps = _partials(shares, ct, [0, 1, 2, 4])
+    ps[1].value = (ps[1].value + 12345) % shamir.P127  # tamper
+    assert shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1") == msg
+
+
+def test_corruption_below_threshold_fails_closed(setup):
+    """Exactly t received, one corrupted -> fewer than t valid -> raise."""
+    _, shares, addrs, ct, _ = setup
+    ps = _partials(shares, ct, [0, 2, 4])
+    ps[0].signature = b"\x01" * 65
+    with pytest.raises(shamir.ThresholdError):
+        shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1")
+
+
+def test_below_threshold_fails(setup):
+    _, shares, addrs, ct, _ = setup
+    ps = _partials(shares, ct, [0, 4])
+    with pytest.raises(shamir.ThresholdError):
+        shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1")
+
+
+def test_duplicate_party_not_double_counted(setup):
+    _, shares, addrs, ct, _ = setup
+    ps = _partials(shares, ct, [0, 0, 0, 2])
+    with pytest.raises(shamir.ThresholdError):
+        shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req1")
+
+
+def test_wrong_nonce_rejected(setup):
+    """Partials are bound to the request context: replaying them for a
+    different request (nonce) fails signature verification."""
+    _, shares, addrs, ct, _ = setup
+    ps = _partials(shares, ct, [0, 2, 4], nonce=b"req1")
+    with pytest.raises(shamir.ThresholdError):
+        shamir.combine(ct, ps, addrs, 3, P.delta, MOD, nonce=b"req2")
+
+
+def test_shares_leak_nothing_individually(setup):
+    """Any t-1 shares are statistically independent of the key bit:
+    check that single-party share values differ across two deals of the
+    SAME key (randomized polynomials)."""
+    sk, _, _, _, _ = setup
+    a = shamir.share_secret_key(np.asarray(sk.key), 5, 3, b"deal-a")
+    b = shamir.share_secret_key(np.asarray(sk.key), 5, 3, b"deal-b")
+    assert a[0].share != b[0].share
+
+
+def test_t_equals_n(setup):
+    sk, _, _, ct, msg = setup
+    shares = shamir.share_secret_key(np.asarray(sk.key), 4, 4, b"tn")
+    addrs = [s.address for s in shares]
+    ps = [shamir.partial_decrypt(ct, s, nonce=b"r") for s in shares]
+    assert shamir.combine(ct, ps, addrs, 4, P.delta, MOD, nonce=b"r") == msg
