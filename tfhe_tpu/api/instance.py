@@ -244,9 +244,82 @@ class FhevmInstance:
     CMP_OPS = {"eq": ri.eq, "ne": ri.ne, "lt": ri.lt, "le": ri.le, "gt": ri.gt, "ge": ri.ge}
     SHIFT_OPS = {"shl": ri.shl, "shr": ri.shr, "rotl": ri.rotl, "rotr": ri.rotr}
 
+    # ebool truth tables (reference FHEVMManualTestSuite: ebool
+    # and/or/xor/not/eq/ne incl. scalar variants)
+    BOOL_OPS = {
+        "and": lambda x, y: x & y,
+        "or": lambda x, y: x | y,
+        "xor": lambda x, y: x ^ y,
+        "eq": lambda x, y: 1 - (x ^ y),
+        "ne": lambda x, y: x ^ y,
+    }
+
+    def _is_ebool(self, h) -> bool:
+        return isinstance(h, bytes) and self._store[h][0].name == "ebool"
+
+    def _get_bool(self, h):
+        if isinstance(h, bytes):
+            t, ct = self._store[h]
+            assert t.name == "ebool", f"{t.name} operand in ebool op"
+            return ct
+        return si.trivial_encrypt(self.params, jnp.asarray(int(h) & 1, dtype=U64))
+
+    def _fhe_op_bool(self, op: str, *args) -> bytes:
+        """ebool-operand logic (one shortint block per ebool; bivariate
+        PBS for enc x enc, univariate LUT when one side is scalar)."""
+        ebool = FHE_TYPES["ebool"]
+        if op == "not":
+            a = self._get_bool(args[0])
+            res = si.apply_function(self._sk, a, lambda v: 1 - (v & 1))
+            return self._put(ebool, res, op, [args[0]])
+        if op == "select":
+            c = self._get_bool(args[0])
+            t_b = self._get_bool(args[1])
+            f_b = self._get_bool(args[2])
+            # c ? t : f with 0/1 payloads: (c AND t) + (NOT c AND f)
+            # -- the two terms are disjoint, so a plain add stays 0/1
+            ct_ = si.bivariate_pbs(self._sk, c, t_b, lambda x, y: (x & 1) & (y & 1))
+            cf = si.bivariate_pbs(self._sk, c, f_b, lambda x, y: (1 - (x & 1)) & (y & 1))
+            res = si.message_extract(self._sk, si.add(ct_, cf))
+            return self._put(ebool, res, op, list(args[:3]))
+        f = self.BOOL_OPS[op]
+        ha, hb = args[0], args[1]
+        if isinstance(ha, bytes) and isinstance(hb, bytes):
+            res = si.bivariate_pbs(
+                self._sk, self._get_bool(ha), self._get_bool(hb),
+                lambda x, y: f(x & 1, y & 1) & 1,
+            )
+        else:  # one side scalar (ScalarL or ScalarR)
+            enc, s = (ha, int(hb)) if isinstance(ha, bytes) else (hb, int(ha))
+            res = si.apply_function(
+                self._sk, self._get_bool(enc), lambda v: f(v & 1, s & 1) & 1
+            )
+        return self._put(ebool, res, op, list(args[:2]))
+
     def fhe_op(self, op: str, *args) -> bytes:
         """Execute FHE.<op> over handles/scalars, store and return the
         result handle (the coprocessor loop of SURVEY.md section 3.4)."""
+        # ebool-operand ops route to the boolean block layer
+        if op in self.BOOL_OPS or op == "not":
+            hs = [a for a in args if isinstance(a, bytes)]
+            if hs and all(self._is_ebool(h) for h in hs):
+                return self._fhe_op_bool(op, *args)
+        if op == "select" and self._is_ebool(args[1]) and self._is_ebool(args[2]):
+            return self._fhe_op_bool(op, *args)
+        # scalar-LEFT operands (reference overloads uintX_euintX): lift
+        # the scalar to a trivial ciphertext of the right operand's width
+        if (
+            op in self.BINARY_OPS or op in self.CMP_OPS
+            or op in ("div", "rem") or op in self.SHIFT_OPS
+        ) and not isinstance(args[0], bytes) and isinstance(args[1], bytes):
+            b_t, b = self._get_radix(args[1])
+            lifted = ri.trivial_radix(
+                self.params,
+                jnp.asarray(int(args[0]) % (1 << b.nbits), dtype=U64),
+                b.nbits,
+            )
+            res_t, res = self._exec_radix_op(op, b_t, lifted, args[1])
+            return self._put(res_t, res, op, list(args[:2]))
         if op in self.BINARY_OPS or op in self.CMP_OPS:
             a_t, a = self._get_radix(args[0])
             if isinstance(args[1], bytes):
@@ -292,8 +365,24 @@ class FhevmInstance:
             _, b = self._get_radix(args[2])
             return self._put(a_t, ri.select(self._sk, c, a, b), op, list(args[:3]))
         if op == "cast":
-            a_t, a = self._get_radix(args[0])
             target = FHE_TYPES[args[1]]
+            if self._is_ebool(args[0]):
+                # ebool -> euintX (manual.ts "ebool to euintX casting"):
+                # the bool block becomes block 0, upper blocks trivial 0
+                c = self._get_bool(args[0])
+                nb = ri.blocks_for_bits(self.params, target.bits)
+                zeros = ri.trivial_radix(
+                    self.params, jnp.asarray(0, dtype=U64), target.bits
+                )
+                blocks = jnp.concatenate(
+                    [c.ct[None, ...], zeros.blocks[1:]], axis=0
+                )
+                res = ri.RadixCiphertext(
+                    blocks=blocks, params=self.params,
+                    degrees=(1,) + (0,) * (nb - 1),
+                )
+                return self._put(target, res, op, [args[0], args[1]])
+            a_t, a = self._get_radix(args[0])
             return self._put(target, ri.cast(self._sk, a, target.bits), op, [args[0], args[1]])
         if op == "randBounded":
             t = FHE_TYPES[args[1]]
@@ -415,6 +504,21 @@ class FhevmInstance:
         t, ct = self._store[handle]
         assert isinstance(ct, ri.RadixCiphertext), f"{t.name} is not a radix type"
         return t, ct
+
+    def _exec_radix_op(self, op: str, b_t, a_ct, hb: bytes):
+        """Run op with a pre-built left operand (scalar-left lifting)."""
+        _, b = self._get_radix(hb)
+        if op in self.BINARY_OPS:
+            return b_t, self.BINARY_OPS[op](self._sk, a_ct, b)
+        if op in self.CMP_OPS:
+            return FHE_TYPES["ebool"], self.CMP_OPS[op](self._sk, a_ct, b)
+        if op == "div":
+            return b_t, ri.div(self._sk, a_ct, b)
+        if op == "rem":
+            return b_t, ri.rem(self._sk, a_ct, b)
+        enc = {"shl": ri.shl_enc, "shr": ri.shr_enc,
+               "rotl": ri.rotl_enc, "rotr": ri.rotr_enc}[op]
+        return b_t, enc(self._sk, a_ct, b)
 
     def _put(self, t: FheType, ct, op: str, operands: list) -> bytes:
         """Store `ct` under its DETERMINISTIC result handle: keccak over

@@ -20,7 +20,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from tfhe_tpu.api import attestation
+from tfhe_tpu.api import attestation, costs
 from tfhe_tpu.api.instance import FhevmInstance
 from tfhe_tpu.api.types import FHE_TYPES
 from tfhe_tpu.utils import serialization
@@ -95,16 +95,74 @@ class FheServer:
         h = res["handles"][0]
         return {"handle": "0x" + h.hex(), "inputProof": res["inputProof"].hex()}
 
-    def evaluate(self, body):
-        op = body["op"]
+    @staticmethod
+    def _parse_args(raw):
         args = []
-        for a in body["args"]:
+        for a in raw:
             if isinstance(a, str) and a.startswith("0x") and len(a) == 66:
                 args.append(bytes.fromhex(a[2:]))
+            elif isinstance(a, str) and not a.lstrip("-").isdigit():
+                args.append(a)  # type names for casts/rand
             else:
                 args.append(int(a))
+        return args
+
+    def _op_cost(self, op, args):
+        handle = next((a for a in args if isinstance(a, bytes)), None)
+        tname = (
+            self.instance._store[handle][0].name
+            if handle is not None and handle in self.instance._store
+            else "euint64"
+        )
+        scalar = any(not isinstance(a, bytes) for a in args[:2])
+        return costs.cost_of(op, tname, scalar=scalar)
+
+    def evaluate(self, body):
+        """Single op, or an op LIST routed through the batched
+        coprocessor path (VERDICT round-1 item 7: production traffic must
+        amortize the per-program dispatch floor; reference analog is the
+        redis worker queue draining into the executor). Responses carry
+        per-op gas costs from the reference's schedule
+        (operatorsPrices.json)."""
+        if "ops" in body:
+            reqs = [(o["op"], self._parse_args(o["args"])) for o in body["ops"]]
+            # group consecutive same-op binary requests into fhe_op_many
+            # batches (ONE device program per group)
+            out: list = [None] * len(reqs)
+            cost = 0
+            i = 0
+            batched_groups = 0
+            while i < len(reqs):
+                op = reqs[i][0]
+                j = i
+                batchable = op in self.instance.BINARY_OPS or op in self.instance.CMP_OPS
+                while (
+                    batchable and j < len(reqs) and reqs[j][0] == op
+                    and len(reqs[j][1]) == 2
+                ):
+                    j += 1
+                if j - i >= 2:
+                    pairs = [tuple(reqs[k][1]) for k in range(i, j)]
+                    hs = self.instance.fhe_op_many(op, pairs)
+                    for k, h in zip(range(i, j), hs):
+                        out[k] = h
+                        cost += self._op_cost(op, reqs[k][1])
+                    batched_groups += 1
+                    i = j
+                else:
+                    h = self.instance.fhe_op(op, *reqs[i][1])
+                    out[i] = h
+                    cost += self._op_cost(op, reqs[i][1])
+                    i += 1
+            return {
+                "handles": ["0x" + h.hex() for h in out],
+                "gasUsed": cost,
+                "batchedGroups": batched_groups,
+            }
+        op = body["op"]
+        args = self._parse_args(body["args"])
         h = self.instance.fhe_op(op, *args)
-        return {"handle": "0x" + h.hex()}
+        return {"handle": "0x" + h.hex(), "gasUsed": self._op_cost(op, args)}
 
     def decrypt(self, body):
         h = bytes.fromhex(body["handle"][2:])

@@ -95,6 +95,27 @@ def encrypt_radix(
     )
 
 
+def encrypt_radix_bigint(
+    ck: ClientKey, values: list, nbits: int, rng: FheRng
+) -> RadixCiphertext:
+    """Exact big-int radix encryption (euint128/256: python ints wider
+    than u64; reference FheUint128/256 radix lists, radix_utils.rs:21-51)."""
+    p = ck.params
+    nb = blocks_for_bits(p, nbits)
+    bpb = _bits_per_block(p)
+    mask = p.message_modulus - 1
+    rows = [
+        [(int(v) >> (bpb * i)) & mask for i in range(nb)] for v in values
+    ]
+    blocks_pt = jnp.asarray(rows, dtype=U64)
+    from tfhe_tpu.core.lwe import encrypt_lwe
+
+    ct = encrypt_lwe(ck.big_lwe_key, encode(blocks_pt, p.delta), rng, p.glwe_noise)
+    return RadixCiphertext(
+        blocks=ct, params=p, degrees=(p.message_modulus - 1,) * nb
+    )
+
+
 def decrypt_radix(ck: ClientKey, c: RadixCiphertext) -> jax.Array:
     """Decrypt to u64 (callers mask to nbits; nbits > 64 uses decrypt_radix_bigint)."""
     p = ck.params

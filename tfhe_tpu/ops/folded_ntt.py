@@ -140,6 +140,25 @@ class _PrimeCtx:
         fix = jnp.where(t < 0, np.uint32(self.p - int(corr) % self.p), _NP0)
         return _condsub(r + fix, self.two_p)
 
+    def reduce_signed_arr(self, t: jax.Array, w, ws, fixv) -> jax.Array:
+        """reduce_signed with ARRAY constants (w, ws, fixv broadcastable
+        to t): used when a per-point twiddle twist is folded into the
+        digit-recombination constant, eliminating the separate Shoup
+        twist multiply (w = 2^{16j} * G[t,r] mod p,
+        fixv = (p - 2^32*w) mod p, both precomputed host-side)."""
+        a = t.astype(U32)
+        a0 = a & _NPFFFF
+        a1 = a >> _NP16
+        b0 = ws & _NPFFFF
+        b1 = ws >> _NP16
+        lh = a0 * b1
+        hl = a1 * b0
+        tt = (lh & _NPFFFF) + (hl & _NPFFFF)
+        q = a1 * b1 + (lh >> _NP16) + (hl >> _NP16) + (tt >> _NP16)
+        r = a * w - q * self.pu  # in [0, 3p)
+        fix = jnp.where(t < 0, fixv, _NP0)
+        return _condsub(r + fix, self.two_p)
+
     def reduce_u64_pair(self, lo: jax.Array, hi: jax.Array) -> jax.Array:
         """(lo + 2^32*hi) mod p -> [0, 2p), u32 inputs."""
         w, ws, _ = self.one

@@ -136,7 +136,7 @@ def make_pallas_blind_rotate(
                 fd = d.astype(U32)
             else:
                 fd = fwd_prime(
-                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
+                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], ctx,
                     cd, rd, tm * 2, 3, big_c, big_r, n,
                 )  # (tm*2, N) u32 in [0, 2p)
             fdm = fd.reshape(tm, 2, n)
@@ -161,7 +161,7 @@ def make_pallas_blind_rotate(
             res.append(
                 inv_prime(
                     prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
-                    i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+                    ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
                 )
             )
         # Garner: residues -> u64 pair, centered, << shift
@@ -195,14 +195,14 @@ def make_pallas_blind_rotate(
             xl = xl << np.uint32(sh)
         return _add_pair(lo, hi, xl, xh)
 
-    v_tabs = [None] * 4
-    i_tabs = [None] * 4
+    v_tabs = [None] * 3
+    i_tabs = [None] * 3
 
     def kernel(lo_ref, hi_ref, rv_ref, rs_ref, bv_ref, bs_ref,
-               v_t, wr_t, g_t, gs_t, wi_t, vi_t, gi_t, gis_t,
+               v_t, wr_t, gf_t, wi_t, vi_t, gif_t,
                olo_ref, ohi_ref):
-        v_tabs[:] = [v_t, wr_t, g_t, gs_t]
-        i_tabs[:] = [wi_t, vi_t, gi_t, gis_t]
+        v_tabs[:] = [v_t, wr_t, gf_t]
+        i_tabs[:] = [wi_t, vi_t, gif_t]
         lo = lo_ref[:]  # (tm*2, N)
         hi = hi_ref[:]
         for s_idx in range(steps):
@@ -229,8 +229,8 @@ def make_pallas_blind_rotate(
                 pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
-                full(t.v), full(t.wr), full(t.g), full(t.gs),
-                full(t.wi), full(t.vi), full(t.gi), full(t.gis),
+                full(t.v), full(t.wr), full(t.gf),
+                full(t.wi), full(t.vi), full(t.gif),
             ],
             out_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
@@ -243,7 +243,7 @@ def make_pallas_blind_rotate(
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, rotv, rots, bskv, bsks,
-            t.v, t.wr, t.g, t.gs, t.wi, t.vi, t.gi, t.gis,
+            t.v, t.wr, t.gf, t.wi, t.vi, t.gif,
         )
 
     return step
