@@ -125,3 +125,39 @@ def test_evaluate_single_reports_gas(client):
     h1 = client.encrypt(9, "euint8")["handle"]
     r = client.evaluate("add", h1, 1)
     assert r["gasUsed"] == 94000  # scalar add Uint8
+
+
+def test_v2_queued_protocol(client):
+    """v2: POST returns a requestId immediately; polling yields the
+    result (reference RelayerV2PostResultQueued)."""
+    h1 = client.encrypt(6, "euint8")["handle"]
+    h2 = client.encrypt(7, "euint8")["handle"]
+    rid = client.submit_v2("/v2/evaluate", {"op": "mul", "args": [h1, h2]})
+    assert rid.startswith("job-")
+    res = client.poll_v2(rid)
+    hs = res["handle"]
+    client.allow(hs)
+    assert client.decrypt(hs) == 42
+    # failed jobs surface their error class on poll
+    from tfhe_tpu.api.client import FheClientError, FheClientNotFoundError
+    rid2 = client.submit_v2("/v2/decrypt", {"handle": "0x" + "ee" * 32})
+    import time
+    with pytest.raises(FheClientError):
+        for _ in range(100):
+            client.poll_v2(rid2, deadline=5.0)
+            time.sleep(0.05)
+    with pytest.raises(FheClientNotFoundError):
+        client.poll_v2("job-99999999")
+
+
+def test_typed_error_hierarchy(client):
+    from tfhe_tpu.api.client import (
+        FheClientBadRequestError,
+        FheClientForbiddenError,
+    )
+    with pytest.raises(FheClientBadRequestError):
+        client.encrypt(5, "euint7")
+    h = client.encrypt(5, "euint8")["handle"]
+    h2 = client.evaluate("add", h, 1)["handle"]
+    with pytest.raises(FheClientForbiddenError):
+        client.decrypt(h2)

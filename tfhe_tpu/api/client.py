@@ -58,7 +58,7 @@ class FheClient:
                 except Exception:  # noqa: BLE001 -- body may not be JSON
                     pass
                 if e.code < 500:
-                    raise FheClientError(e.code, msg) from None
+                    raise _typed_error(e.code, msg) from None
                 last = FheClientError(e.code, msg)
             except (urllib.error.URLError, TimeoutError) as e:
                 last = FheClientError(0, f"transport: {e}")
@@ -78,6 +78,38 @@ class FheClient:
             method="POST",
         )
         return self._request(req, idempotent=idempotent)
+
+    # -- v2 queued-response protocol ---------------------------------------
+
+    def submit_v2(self, path: str, body: dict) -> str:
+        """POST a /v2/* queued request; returns the requestId."""
+        r = self._post(path, body)
+        return r["requestId"]
+
+    def poll_v2(self, request_id: str, deadline: float = 30.0, interval: float = 0.05):
+        """Poll /v2/result/<id> until done (reference
+        RelayerV2PostResultQueued polling loop). Raises
+        FheClientTimeoutError past the deadline; server-side failures
+        re-raise as their typed error class."""
+        t0 = time.time()
+        while True:
+            r = self._get(f"/v2/result/{request_id}")
+            if r.get("status") == "done":
+                return r["result"]
+            if time.time() - t0 > deadline:
+                raise FheClientTimeoutError(
+                    f"{request_id} still {r.get('status')} after {deadline}s"
+                )
+            time.sleep(interval)
+
+    def evaluate_v2(self, op: str, *args, deadline: float = 30.0):
+        sargs = [a if isinstance(a, str) else str(a) for a in args]
+        rid = self.submit_v2("/v2/evaluate", {"op": op, "args": sargs})
+        return self.poll_v2(rid, deadline=deadline)
+
+    def decrypt_v2(self, handle: str, deadline: float = 30.0) -> int:
+        rid = self.submit_v2("/v2/decrypt", {"handle": handle})
+        return int(self.poll_v2(rid, deadline=deadline)["value"])
 
     def health(self):
         return self._get("/health")
@@ -165,3 +197,41 @@ class FheClientMaxRetryError(FheClientError):
     def __init__(self, msg: str):
         Exception.__init__(self, f"max retries exceeded: {msg}")
         self.code = 0
+
+
+# typed error hierarchy (reference relayer-provider/v2/types/errors/):
+# callers can catch by failure class instead of parsing status codes
+
+
+class FheClientTimeoutError(FheClientError):
+    """Polling deadline exceeded (reference RelayerV2TimeoutError)."""
+
+    def __init__(self, msg: str):
+        Exception.__init__(self, f"timeout: {msg}")
+        self.code = 0
+
+
+class FheClientBadRequestError(FheClientError):
+    pass
+
+
+class FheClientUnauthorizedError(FheClientError):
+    pass
+
+
+class FheClientForbiddenError(FheClientError):
+    pass
+
+
+class FheClientNotFoundError(FheClientError):
+    pass
+
+
+def _typed_error(code: int, msg: str) -> FheClientError:
+    cls = {
+        400: FheClientBadRequestError,
+        401: FheClientUnauthorizedError,
+        403: FheClientForbiddenError,
+        404: FheClientNotFoundError,
+    }.get(code, FheClientError)
+    return cls(code, msg)

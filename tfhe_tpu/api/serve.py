@@ -40,6 +40,7 @@ class FheServer:
         # auth (reference sdk/relayer/src/auth.ts:10-38: bearer token or
         # API-key header); None disables the check
         self.api_key = api_key
+        self.jobs = _JobQueue()
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self._httpd.server_address[1]
@@ -51,6 +52,7 @@ class FheServer:
         return self
 
     def stop(self):
+        self.jobs.stop()
         self._httpd.shutdown()
         self._httpd.server_close()
 
@@ -264,6 +266,63 @@ class ApiError(Exception):
         self.msg = msg
 
 
+class _JobQueue:
+    """v2 queued-response protocol: POST enqueues, GET /v2/result polls
+    (reference relayer-provider/v2/RelayerV2PostResultQueued.ts: the v2
+    REST protocol returns a queued response that the SDK polls until the
+    result materializes). Jobs run on a worker thread so slow FHE ops
+    never block the HTTP accept loop."""
+
+    def __init__(self):
+        import queue
+
+        self._jobs: dict[str, dict] = {}
+        self._q = queue.Queue()
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self._counter = 0
+
+    def submit(self, fn, body) -> str:
+        with self._lock:
+            self._counter += 1
+            job_id = f"job-{self._counter:08d}"
+            self._jobs[job_id] = {"status": "queued"}
+        self._q.put((job_id, fn, body))
+        return job_id
+
+    def stop(self):
+        self._q.put(None)
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            job_id, fn, body = item
+            with self._lock:
+                self._jobs[job_id]["status"] = "processing"
+            try:
+                result = fn(body)
+                with self._lock:
+                    self._jobs[job_id] = {"status": "done", "result": result}
+            except ApiError as e:
+                with self._lock:
+                    self._jobs[job_id] = {
+                        "status": "failed", "code": e.code, "error": e.msg,
+                    }
+            except Exception as e:  # noqa: BLE001 -- worker must not die
+                with self._lock:
+                    self._jobs[job_id] = {
+                        "status": "failed", "code": 500, "error": str(e),
+                    }
+
+    def poll(self, job_id: str) -> dict:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            return dict(job) if job else None
+
+
 def _make_handler(server: FheServer):
     routes_get = {
         "/health": server.health,
@@ -279,6 +338,16 @@ def _make_handler(server: FheServer):
         "/input-proof": server.input_proof,
         "/public-decrypt": server.public_decrypt,
         "/user-decrypt": server.user_decrypt,
+    }
+    # v2: queued-response variants of every slow POST
+    # (RelayerV2PostResultQueued.ts protocol: POST -> requestId,
+    #  GET /v2/result/<id> -> 202 while pending, 200 when done)
+    queueable = {
+        "/v2/evaluate": server.evaluate,
+        "/v2/decrypt": server.decrypt,
+        "/v2/public-decrypt": server.public_decrypt,
+        "/v2/user-decrypt": server.user_decrypt,
+        "/v2/input-proof": server.input_proof,
     }
 
     class Handler(BaseHTTPRequestHandler):
@@ -308,6 +377,17 @@ def _make_handler(server: FheServer):
             # auth first: unauthenticated callers learn nothing about routes
             if not self._authed():
                 return self._reply(401, {"error": "unauthorized"})
+            if self.path.startswith("/v2/result/"):
+                job = server.jobs.poll(self.path[len("/v2/result/"):])
+                if job is None:
+                    return self._reply(404, {"error": "unknown requestId"})
+                if job["status"] in ("queued", "processing"):
+                    return self._reply(202, {"status": job["status"]})
+                if job["status"] == "failed":
+                    return self._reply(
+                        job.get("code", 500), {"error": job["error"]}
+                    )
+                return self._reply(200, {"status": "done", "result": job["result"]})
             fn = routes_get.get(self.path)
             if fn is None:
                 return self._reply(404, {"error": f"no route {self.path}"})
@@ -321,6 +401,15 @@ def _make_handler(server: FheServer):
         def do_POST(self):
             if not self._authed():
                 return self._reply(401, {"error": "unauthorized"})
+            qfn = queueable.get(self.path)
+            if qfn is not None:
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, KeyError) as e:
+                    return self._reply(400, {"error": f"bad request: {e}"})
+                job_id = server.jobs.submit(qfn, body)
+                return self._reply(202, {"requestId": job_id})
             fn = routes_post.get(self.path)
             if fn is None:
                 return self._reply(404, {"error": f"no route {self.path}"})

@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
@@ -240,6 +241,12 @@ def make_pallas_blind_rotate(
                 jax.ShapeDtypeStruct((b2, n), U32),
                 jax.ShapeDtypeStruct((b2, n), U32),
             ],
+            # the fused step peaks ~26 MB of scoped VMEM at steps=4
+            # (v5e has 128 MiB physical; the 16 MiB default is a
+            # conservative scheduler budget, not the hardware limit)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, rotv, rots, bskv, bsks,
