@@ -29,7 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
@@ -137,7 +136,7 @@ def make_pallas_blind_rotate(
                 fd = d.astype(U32)
             else:
                 fd = fwd_prime(
-                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], ctx,
+                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
                     cd, rd, tm * 2, 3, big_c, big_r, n,
                 )  # (tm*2, N) u32 in [0, 2p)
             fdm = fd.reshape(tm, 2, n)
@@ -162,7 +161,7 @@ def make_pallas_blind_rotate(
             res.append(
                 inv_prime(
                     prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
-                    ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+                    i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
                 )
             )
         # Garner: residues -> u64 pair, centered, << shift
@@ -196,14 +195,14 @@ def make_pallas_blind_rotate(
             xl = xl << np.uint32(sh)
         return _add_pair(lo, hi, xl, xh)
 
-    v_tabs = [None] * 3
-    i_tabs = [None] * 3
+    v_tabs = [None] * 4
+    i_tabs = [None] * 4
 
     def kernel(lo_ref, hi_ref, rv_ref, rs_ref, bv_ref, bs_ref,
-               v_t, wr_t, gf_t, wi_t, vi_t, gif_t,
+               v_t, wr_t, g_t, gs_t, wi_t, vi_t, gi_t, gis_t,
                olo_ref, ohi_ref):
-        v_tabs[:] = [v_t, wr_t, gf_t]
-        i_tabs[:] = [wi_t, vi_t, gif_t]
+        v_tabs[:] = [v_t, wr_t, g_t, gs_t]
+        i_tabs[:] = [wi_t, vi_t, gi_t, gis_t]
         lo = lo_ref[:]  # (tm*2, N)
         hi = hi_ref[:]
         for s_idx in range(steps):
@@ -230,8 +229,8 @@ def make_pallas_blind_rotate(
                 pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
-                full(t.v), full(t.wr), full(t.gf),
-                full(t.wi), full(t.vi), full(t.gif),
+                full(t.v), full(t.wr), full(t.g), full(t.gs),
+                full(t.wi), full(t.vi), full(t.gi), full(t.gis),
             ],
             out_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
@@ -241,16 +240,10 @@ def make_pallas_blind_rotate(
                 jax.ShapeDtypeStruct((b2, n), U32),
                 jax.ShapeDtypeStruct((b2, n), U32),
             ],
-            # the fused step peaks ~26 MB of scoped VMEM at steps=4
-            # (v5e has 128 MiB physical; the 16 MiB default is a
-            # conservative scheduler budget, not the hardware limit)
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, rotv, rots, bskv, bsks,
-            t.v, t.wr, t.gf, t.wi, t.vi, t.gif,
+            t.v, t.wr, t.g, t.gs, t.wi, t.vi, t.gi, t.gis,
         )
 
     return step

@@ -67,20 +67,6 @@ def _stack_digits(m: np.ndarray, p: int) -> np.ndarray:
     return np.concatenate([d[..., a] for a in range(4)], axis=0)
 
 
-def _folded_consts(g: np.ndarray, p: int) -> np.ndarray:
-    """Twist matrix G (C, R) mod p -> (4, 3, C, R) u32: for each digit
-    pair j, the array constant 2^{16j}*G with its Shoup companion and the
-    negative-input correction p - (2^32 * w mod p)."""
-    out = np.empty((4, 3) + g.shape, dtype=np.uint32)
-    go = g.astype(object)
-    for j in range(4):
-        w = (go << (16 * j)) % p
-        out[j, 0] = w.astype(np.uint32)
-        out[j, 1] = ((w << 32) // p).astype(np.uint32)
-        out[j, 2] = ((p - (w << 32) % p) % p).astype(np.uint32)
-    return out
-
-
 class PallasNttTables:
     """Per-engine constant tables, stacked over the 3 primes."""
 
@@ -136,18 +122,19 @@ class PallasNttTables:
             wis.append(_stack_digits(wi, p))
             vis.append(_stack_digits(vi, p))
             sh = lambda x: ((x.astype(object) << 32) // p).astype(np.uint32)
-            gs.append(_folded_consts(gm, p))
-            gis.append(_folded_consts(gim, p))
+            gs.append(gm.astype(np.uint32))
+            gss.append(sh(gm))
+            gis.append(gim.astype(np.uint32))
+            giss.append(sh(gim))
         ld = _limb_dtype()
         self.v = jnp.asarray(np.stack(vs)).astype(ld)  # (3, 4C, C)
         self.wr = jnp.asarray(np.stack(wrs)).astype(ld)  # (3, 4R, R)
         self.wi = jnp.asarray(np.stack(wis)).astype(ld)  # (3, 4R, R)
         self.vi = jnp.asarray(np.stack(vis)).astype(ld)  # (3, 4C, C)
-        # twist constants FOLDED into the recombination: for pair j the
-        # scalar weight 2^{16j} becomes the array 2^{16j}*G[t,r] mod p
-        # (w, shoup, negative-input fix) -- (3, 4j, 3[w/ws/fix], C, R)
-        self.gf = jnp.asarray(np.stack(gs))
-        self.gif = jnp.asarray(np.stack(gis))
+        self.g = jnp.asarray(np.stack(gs))  # (3, C, R) u32
+        self.gs = jnp.asarray(np.stack(gss))
+        self.gi = jnp.asarray(np.stack(gis))
+        self.gis = jnp.asarray(np.stack(giss))
 
 
 def _split_list(x, nplanes=4):
@@ -164,16 +151,10 @@ def _split_list(x, nplanes=4):
     return ds
 
 
-def _recombine(blk, ctx, big, nb=4, folded=None):
-    """blk(a, b) -> i32 block slices; returns their weighted mod-p sum
+def _recombine(blk, ctx, big, nb=4):
+    """blk(a, b) -> 2D i32 block slices; returns their weighted mod-p sum
     (same math as FoldedNtt._recombine, incl. the big-K S_3 split for
-    nb=4; nb=3 plane inputs pair-combine safely at any K <= 128).
-
-    With `folded` (a (4, 3, ...) array of per-pair (w, shoup, fix)
-    constants broadcastable to the blocks), the mid-stage twiddle twist
-    G[t,r] is folded into the recombination weights: pair j reduces with
-    2^{16j}*G instead of 2^{16j}, so the separate Shoup twist multiply
-    (and its condsub) disappears from the hot path."""
+    nb=4; nb=3 plane inputs pair-combine safely at any K <= 128)."""
     split3 = big and nb == 4
     s = [None] * (3 + nb)
     for a in range(4):
@@ -187,12 +168,7 @@ def _recombine(blk, ctx, big, nb=4, folded=None):
     if split3:
         s[3] = blk(0, 3) + blk(1, 2)
         s3b = blk(2, 1) + blk(3, 0)
-        if folded is not None:
-            r1b = ctx.reduce_signed_arr(
-                s3b << e8, folded[1][0], folded[1][1], folded[1][2]
-            )
-        else:
-            r1b = ctx.reduce_signed(s3b << e8, ctx.c16)
+        r1b = ctx.reduce_signed(s3b << e8, ctx.c16)
     else:
         r1b = None
     while len(s) < 8:
@@ -204,10 +180,7 @@ def _recombine(blk, ctx, big, nb=4, folded=None):
         if lo is None and hi is None:
             continue
         t = lo if hi is None else ((hi << e8) if lo is None else lo + (hi << e8))
-        if folded is not None:
-            r = ctx.reduce_signed_arr(t, folded[j][0], folded[j][1], folded[j][2])
-        else:
-            r = ctx.reduce_signed(t, consts[j])
+        r = ctx.reduce_signed(t, consts[j])
         out = r if out is None else _condsub(out + r, ctx.two_p)
     if r1b is not None:
         out = _condsub(out + r1b, ctx.two_p)
@@ -237,30 +210,24 @@ def _dot_nt(lhs, rhs):
 
 
 
-def fwd_prime(x_planes_rhs, i, v_tab, wr_tab, gf_tab, ctx,
+def fwd_prime(x_planes_rhs, i, v_tab, wr_tab, g_tab, gs_tab, ctx,
               cd, rd, tm, nb, big_c, big_r, n):
     """One prime's forward transform on kernel VALUES.
 
     x_planes_rhs: (C, nb*TM*R) limb-dtype stage-1 rhs (shared across
-    primes). Returns (TM, N) u32 in [0, 2p), layout h = t*R + s.
-
-    The G twist is folded into stage-1's recombination constants
-    (gf_tab), and stage 2 runs NT-form with the DATA as lhs so its
-    output lands in (C*TM, R) layout directly -- one less relayout than
-    the round-1 kernel (z.T gone)."""
+    primes). Returns (TM, N) u32 in [0, 2p), layout h = t*R + s."""
     out1 = _dot(v_tab[i], x_planes_rhs)  # (4a*C, nb*TM*R) f32
-    b1 = out1.reshape(4, cd, nb, tm, rd).astype(I32)
-    gf = gf_tab[i][:, :, :, None, :]  # (4j, 3, C, 1, R)
-    yt = _recombine(
-        lambda a, b: b1[a, :, b], ctx, big_c, nb, folded=gf
-    )  # (C, TM, R) twisted, [0, 2p)
+    b1 = out1.reshape(4, cd, nb, tm * rd).astype(I32)
+    y = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_c, nb)
+    ym = y.reshape(cd, tm, rd)
+    yt = shoup_mulmod(ym, g_tab[i][:, None, :], gs_tab[i][:, None, :], ctx.pu)
     ds2 = _split_list(yt.astype(I32))
     rhs2 = jnp.stack(ds2, axis=0).reshape(4 * cd * tm, rd)
     rhs2 = rhs2.astype(wr_tab.dtype)
-    out2 = _dot_nt(rhs2, wr_tab[i])  # (4b*C*TM, 4a*R_s)
-    b2 = out2.reshape(4, cd * tm, 4, rd).astype(I32)
-    z = _recombine(lambda a, b: b2[b, :, a, :], ctx, big_r)  # (C*TM, R)
-    zt = z.reshape(cd, tm, rd)
+    out2 = _dot_nt(wr_tab[i], rhs2)  # (4a*R_s, 4b*C*TM)
+    b2 = out2.reshape(4, rd, 4, cd * tm).astype(I32)
+    z = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_r)
+    zt = z.T.reshape(cd, tm, rd)  # (C_t, TM, R_s)
     return jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
 
 
@@ -272,23 +239,18 @@ def make_fwd_rhs(x_i32, cd, rd, tm, nb, ld):
     return jnp.transpose(rhs1, (2, 0, 1, 3)).reshape(cd, nb * tm * rd).astype(ld)
 
 
-def inv_prime(f_i32, i, wi_tab, vi_tab, gif_tab, ctx,
+def inv_prime(f_i32, i, wi_tab, vi_tab, gi_tab, gis_tab, ctx,
               cd, rd, tm, big_c, big_r, n, ld):
     """One prime's inverse on kernel VALUES: (TM, N) i32 (< 2^31, layout
-    h = t*R + s) -> (TM, N) u32 canonical residues, natural order.
-
-    Stage 1 runs NT-form with the data as lhs, so the recombined output
-    is (TM, C, R) directly (round-1's u.T relayout gone) and the
-    Gi * n^-1 twist folds into the recombination constants (gif_tab)."""
+    h = t*R + s) -> (TM, N) u32 canonical residues, natural order."""
     fm = f_i32.reshape(tm, cd, rd)  # (TM, C_t, R_s)
     ds = _split_list(fm)
     rhs1 = jnp.stack(ds, axis=0).reshape(4 * tm * cd, rd).astype(ld)
-    out1 = _dot_nt(rhs1, wi_tab[i])  # (4b*TM*C, 4a*R_r)
-    b1 = out1.reshape(4, tm, cd, 4, rd).astype(I32)
-    gif = gif_tab[i][:, :, None, :, :]  # (4j, 3, 1, C, R)
-    ut = _recombine(
-        lambda a, b: b1[b, :, :, a, :], ctx, big_r, folded=gif
-    )  # (TM, C, R) twisted, [0, 2p)
+    out1 = _dot_nt(wi_tab[i], rhs1)  # (4a*R_r, 4b*TM*C)
+    b1 = out1.reshape(4, rd, 4, tm * cd).astype(I32)
+    u = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_r)
+    um = u.T.reshape(tm, cd, rd)
+    ut = shoup_mulmod(um, gi_tab[i][None, :, :], gis_tab[i][None, :, :], ctx.pu)
     ds2 = _split_list(ut.astype(I32))
     rhs2 = jnp.stack(ds2, axis=0)  # (4b, TM, C, R)
     rhs2 = jnp.transpose(rhs2, (2, 0, 1, 3)).reshape(cd, 4 * tm * rd)
@@ -318,19 +280,19 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
         tm = max(16, 128 // cd)  # stage-2 block views need cd*tm % 128 == 0
     ld = _limb_dtype()
 
-    def fwd_kernel(x_ref, v_ref, wr_ref, gf_ref, o_ref):
+    def fwd_kernel(x_ref, v_ref, wr_ref, g_ref, gs_ref, o_ref):
         rhs1 = make_fwd_rhs(x_ref[:], cd, rd, tm, nb, ld)
         for i in range(3):
             o_ref[:, i, :] = fwd_prime(
-                rhs1, i, v_ref, wr_ref, gf_ref, ctxs[i],
+                rhs1, i, v_ref, wr_ref, g_ref, gs_ref, ctxs[i],
                 cd, rd, tm, nb, big_c, big_r, n,
             )
 
-    def inv_kernel(f_ref, wi_ref, vi_ref, gif_ref, o_ref):
+    def inv_kernel(f_ref, wi_ref, vi_ref, gi_ref, gis_ref, o_ref):
         for i in range(3):
             o_ref[:, i, :] = inv_prime(
-                f_ref[:, i, :].astype(I32), i, wi_ref, vi_ref, gif_ref,
-                ctxs[i], cd, rd, tm, big_c, big_r, n, ld,
+                f_ref[:, i, :].astype(I32), i, wi_ref, vi_ref, gi_ref,
+                gis_ref, ctxs[i], cd, rd, tm, big_c, big_r, n, ld,
             )
 
     interpret = jax.default_backend() != "tpu"
@@ -356,12 +318,13 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
                 pl.BlockSpec((tm, n), lambda i: (i, _Z)),
                 pl.BlockSpec(tables.v.shape, lambda i: (_Z, _Z, _Z)),
                 pl.BlockSpec(tables.wr.shape, lambda i: (_Z, _Z, _Z)),
-                pl.BlockSpec(tables.gf.shape, lambda i: tuple(_Z for _ in tables.gf.shape)),
+                pl.BlockSpec(tables.g.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.gs.shape, lambda i: (_Z, _Z, _Z)),
             ],
             out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
             out_shape=jax.ShapeDtypeStruct((mt, 3, n), U32),
             interpret=interpret,
-        )(xf, tables.v, tables.wr, tables.gf)
+        )(xf, tables.v, tables.wr, tables.g, tables.gs)
         if pad:
             out = out[:m]
         return out.reshape(*batch, 3, n)
@@ -379,12 +342,13 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
                 pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
                 pl.BlockSpec(tables.wi.shape, lambda i: (_Z, _Z, _Z)),
                 pl.BlockSpec(tables.vi.shape, lambda i: (_Z, _Z, _Z)),
-                pl.BlockSpec(tables.gif.shape, lambda i: tuple(_Z for _ in tables.gif.shape)),
+                pl.BlockSpec(tables.gi.shape, lambda i: (_Z, _Z, _Z)),
+                pl.BlockSpec(tables.gis.shape, lambda i: (_Z, _Z, _Z)),
             ],
             out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
             out_shape=jax.ShapeDtypeStruct((mt, 3, n), U32),
             interpret=interpret,
-        )(ff, tables.wi, tables.vi, tables.gif)
+        )(ff, tables.wi, tables.vi, tables.gi, tables.gis)
         if pad:
             out = out[:m]
         return out.reshape(*batch, 3, n)
