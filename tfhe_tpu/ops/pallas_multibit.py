@@ -1,0 +1,286 @@
+"""Fused multi-bit blind-rotation group-step kernel.
+
+One Pallas kernel per GROUP of g secret bits (core/multibit.py math):
+
+    acc <- EP( sum_v (prod_{i in v} m_i) . BSK_v ,  acc )
+
+with m_i = NTT(X^{a_i}) Shoup rows for the group's g exponents. The
+2^g-term aggregation is HORNER-FACTORED over the bits,
+
+    H = H_{v_g-1 = 0} + m_{g-1} . H_{v_g-1 = 1}   (recursively)
+
+so only the g base rows are gathered from HBM (not 2^g) and EVERY
+multiply uses a Shoup-companioned operand -- no variable x variable
+Barrett anywhere. The external product distributes into the aggregation
+(inner_v = sum_d fdm_d . BSK_{v,d,c} uses the precomputed BSK Shoup
+pairs), so the whole group-step is transforms + pure Shoup pointwise:
+
+    cost(group-step) ~ cost(classic step) + 2^g * 4 Shoup muls/pt
+    steps: n -> n/g        (transforms are 80% of the classic step)
+
+Flagship shape only (gadget level 1, k = 1); other shapes use the XLA
+path in core/multibit.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from tfhe_tpu.ops.folded_ntt import (
+    FoldedCrtEngine,
+    _condsub,
+    shoup_mulmod,
+)
+from tfhe_tpu.ops.pallas_blind_rotate import (
+    _add_pair,
+    _mul32x32,
+    _sub_pair,
+)
+from tfhe_tpu.ops.pallas_ntt import (
+    PallasNttTables,
+    _Z,
+    _limb_dtype,
+    fwd_prime,
+    inv_prime,
+    make_fwd_rhs,
+)
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def make_pallas_multibit_step(
+    engine: FoldedCrtEngine, base_log: int, shift: int, group_size: int,
+    tm: int = 16,
+):
+    """Returns step(acc_lo, acc_hi, monov, monos, bskv, bsks) -> (lo, hi):
+      acc_*: (B*2, N) u32 accumulator planes (k+1 = 2)
+      monov/monos: (g, B*3, N) u32 -- NTT(X^{a_i}) Shoup rows per group
+                   bit, gathered by the caller (ct-major, prime-minor)
+      bskv/bsks: (2^g * 12, N) u32 -- the group's pattern GGSWs, rows
+                 ordered (v, prime, d, c) = v*12 + i*4 + d*2 + c.
+    The output REPLACES the accumulator (acc <- EP(agg, acc))."""
+    g = group_size
+    v_count = 1 << g
+    n = engine.n
+    tables = PallasNttTables(engine)
+    cd, rd = tables.c_dim, tables.r_dim
+    ctxs = [ntt.ctx for ntt in engine.ntts]
+    big_c, big_r = cd > 64, rd > 64
+    ld = _limb_dtype()
+    assert 1 <= base_log <= 31
+    half_hi = np.uint32(1 << (64 - base_log - 1 - 32))
+    st_shift = np.uint32(64 - base_log - 32)
+    b_half = np.int32(1 << (base_log - 1))
+    b_full = np.int32(1 << base_log)
+    eng = engine
+    p1, p2, p3 = engine.primes
+    g_inv12 = eng._g_inv_p1_p2
+    g_p1m3 = eng._g_p1_mod_p3
+    g_inv123 = eng._g_inv_p1p2_p3
+    p1_u, p2_u = np.uint32(p1), np.uint32(p2)
+    prod = p1 * p2 * p3
+    prod_lo = np.uint32(prod % 2**64 & 0xFFFFFFFF)
+    prod_hi = np.uint32((prod % 2**64) >> 32)
+    h3, h2, h1 = (np.uint32(int(x)) for x in (eng._h3, eng._h2, eng._h1))
+    sh = shift
+    assert 0 <= sh < 32
+
+    def _horner(inners, mv, ms, ctx, bits):
+        """Sum_v (prod_{i in v} m_i) * inner_v over v-subsets of `bits`,
+        factored so each multiply is one Shoup product by m_i."""
+        if len(bits) == 0:
+            return inners[0]
+        b = bits[-1]
+        lo_set = {v: x for v, x in inners.items() if not (v >> b) & 1}
+        hi_set = {
+            v ^ (1 << b): x for v, x in inners.items() if (v >> b) & 1
+        }
+        lo = _horner(lo_set, mv, ms, ctx, bits[:-1])
+        hi = _horner(hi_set, mv, ms, ctx, bits[:-1])
+        term = shoup_mulmod(_condsub(hi, ctx.pu), mv[b], ms[b], ctx.pu)
+        return _condsub(lo + term, ctx.two_p)
+
+    def _one_step(lo, hi, mv_all, ms_all, bv, bs):
+        dh2 = hi + half_hi
+        state = (dh2 >> st_shift).astype(I32)
+        d = state - jnp.where(state >= b_half, b_full, np.int32(0))
+        rhs1 = make_fwd_rhs(d, cd, rd, tm * 2, 3, ld)
+        res = []
+        for i in range(3):
+            ctx = ctxs[i]
+            fd = fwd_prime(
+                rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
+                cd, rd, tm * 2, 3, big_c, big_r, n,
+            )  # (tm*2, N) u32 in [0, 2p)
+            fdm = fd.reshape(tm, 2, n)
+            mv = [mv_all[b][:, i, :] for b in range(g)]  # (tm, N) each
+            ms = [ms_all[b][:, i, :] for b in range(g)]
+            outs = []
+            for c in range(2):
+                inners = {}
+                for v in range(v_count):
+                    base = v * 12 + 4 * i
+                    t0 = shoup_mulmod(
+                        fdm[:, 0, :], bv[base + c], bs[base + c], ctx.pu
+                    )
+                    t1 = shoup_mulmod(
+                        fdm[:, 1, :], bv[base + 2 + c], bs[base + 2 + c],
+                        ctx.pu,
+                    )
+                    inners[v] = _condsub(t0 + t1, ctx.two_p)
+                s = _horner(inners, mv, ms, ctx, tuple(range(g)))
+                outs.append(_condsub(_condsub(s, ctx.two_p), ctx.pu))
+            prodm = jnp.stack(outs, axis=1).reshape(tm * 2, n)
+            res.append(
+                inv_prime(
+                    prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                    i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+                )
+            )
+        # Garner -> u64 planes; REPLACES the accumulator
+        r1, r2, r3 = res
+        c2, c3 = ctxs[1], ctxs[2]
+        v1 = r1
+        w, ws, _ = g_inv12
+        dgar = r2 + c2.two_p - v1
+        v2 = _condsub(shoup_mulmod(dgar, w, ws, c2.pu), c2.pu)
+        w, ws, _ = g_p1m3
+        lo3 = shoup_mulmod(v2, w, ws, c3.pu) + v1
+        lo3 = _condsub(lo3, c3.two_p)
+        w, ws, _ = g_inv123
+        d3 = r3 + c3.two_p - lo3
+        v3 = _condsub(shoup_mulmod(d3, w, ws, c3.pu), c3.pu)
+        tl, th = _mul32x32(p2_u, v3)
+        tl, th = _add_pair(tl, th, v2, jnp.zeros_like(v2))
+        xl, xh = _mul32x32(p1_u, tl)
+        xh = xh + p1_u * th
+        xl, xh = _add_pair(xl, xh, v1, jnp.zeros_like(v1))
+        neg = (v3 > h3) | ((v3 == h3) & ((v2 > h2) | ((v2 == h2) & (v1 > h1))))
+        xl, xh = _sub_pair(
+            xl, xh,
+            jnp.where(neg, prod_lo, np.uint32(0)),
+            jnp.where(neg, prod_hi, np.uint32(0)),
+        )
+        if sh:
+            xh = (xh << np.uint32(sh)) | (xl >> np.uint32(32 - sh))
+            xl = xl << np.uint32(sh)
+        return xl, xh
+
+    v_tabs = [None] * 4
+    i_tabs = [None] * 4
+
+    def kernel(lo_ref, hi_ref, mv_ref, ms_ref, bv_ref, bs_ref,
+               v_t, wr_t, g_t, gs_t, wi_t, vi_t, gi_t, gis_t,
+               olo_ref, ohi_ref):
+        v_tabs[:] = [v_t, wr_t, g_t, gs_t]
+        i_tabs[:] = [wi_t, vi_t, gi_t, gis_t]
+        mv = [mv_ref[b].reshape(tm, 3, n) for b in range(g)]
+        ms = [ms_ref[b].reshape(tm, 3, n) for b in range(g)]
+        lo, hi = _one_step(lo_ref[:], hi_ref[:], mv, ms, bv_ref, bs_ref)
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    t = tables
+
+    @jax.jit
+    def step(acc_lo, acc_hi, monov, monos, bskv, bsks):
+        b2 = acc_lo.shape[0]
+        grid = (b2 // (2 * tm),)
+        full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(_Z for _ in a.shape))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((g, 3 * tm, n), lambda i: (_Z, i, _Z)),
+                pl.BlockSpec((g, 3 * tm, n), lambda i: (_Z, i, _Z)),
+                full(bskv),
+                full(bsks),
+                full(t.v), full(t.wr), full(t.g), full(t.gs),
+                full(t.wi), full(t.vi), full(t.gi), full(t.gis),
+            ],
+            out_specs=[
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+                pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b2, n), U32),
+                jax.ShapeDtypeStruct((b2, n), U32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(
+            acc_lo, acc_hi, monov, monos, bskv, bsks,
+            t.v, t.wr, t.g, t.gs, t.wi, t.vi, t.gi, t.gis,
+        )
+
+    return step
+
+
+def multibit_bsk_to_step_layout(bsk_ntt: jax.Array):
+    """(G, V, D=2, k+1=2, P=3, 2, N) -> per-group (G, V*12, N) value and
+    Shoup arrays, rows ordered (v, prime, d, c)."""
+    v = bsk_ntt[..., 0, :]  # (G, V, 2, 2, 3, N)
+    s = bsk_ntt[..., 1, :]
+    gdim, vdim = v.shape[0], v.shape[1]
+    v = jnp.transpose(v, (0, 1, 4, 2, 3, 5)).reshape(gdim, vdim * 12, -1)
+    s = jnp.transpose(s, (0, 1, 4, 2, 3, 5)).reshape(gdim, vdim * 12, -1)
+    return v, s
+
+
+def multibit_rotate_fused(acc, e_all, bsk, engine) -> jax.Array:
+    """Fused scan driver (core/multibit.py dispatches here on the
+    flagship shape). acc: (..., 2, N) u64; e_all: (G, V, ...) subset-sum
+    exponents -- only the g single-bit rows are used (Horner form)."""
+    from tfhe_tpu.core.multibit import monomial_x_table
+
+    g = bsk.group_size
+    batch = acc.shape[:-2]
+    n_poly = acc.shape[-1]
+    b = int(np.prod(batch)) if batch else 1
+    tm = 16
+    pad = (-b) % tm
+    flat = acc.reshape(b, 2, n_poly)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, 2, n_poly), dtype=flat.dtype)], axis=0
+        )
+    bp = b + pad
+    lo = (flat & jnp.uint64(0xFFFFFFFF)).astype(U32).reshape(-1, n_poly)
+    hi = (flat >> jnp.uint64(32)).astype(U32).reshape(-1, n_poly)
+
+    # single-bit exponents: subset v = 1 << i
+    bit_vs = [1 << i for i in range(g)]
+    e_bits = jnp.stack(
+        [e_all[:, v].reshape(e_all.shape[0], -1) for v in bit_vs], axis=1
+    ).astype(jnp.int32)  # (G, g, B)
+    if pad:
+        e_bits = jnp.concatenate(
+            [e_bits, jnp.zeros((e_bits.shape[0], g, pad), dtype=jnp.int32)],
+            axis=2,
+        )
+    table = monomial_x_table(engine)  # (2N, P, 2, N)
+    bv, bs = multibit_bsk_to_step_layout(bsk.bsk_ntt)
+    step_fn = make_pallas_multibit_step(
+        engine, bsk.gadget.base_log, bsk.shift, g, tm=tm
+    )
+
+    def body(carry, xs):
+        clo, chi = carry
+        bvj, bsj, ej = xs  # (V*12, N) x2, (g, BP)
+        rows = table[ej]  # (g, BP, P, 2, N)
+        mv = rows[..., 0, :].reshape(g, bp * 3, n_poly)
+        ms = rows[..., 1, :].reshape(g, bp * 3, n_poly)
+        clo, chi = step_fn(clo, chi, mv, ms, bvj, bsj)
+        return (clo, chi), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), (bv, bs, e_bits))
+    out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+    out = out.reshape(-1, 2, n_poly)[:b]
+    return out.reshape(*batch, 2, n_poly)

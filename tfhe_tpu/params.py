@@ -236,6 +236,26 @@ PARAM_MESSAGE_1_CARRY_1_KS_PBS_TUNIFORM_2M128 = ShortintParams(
     carry_modulus=2,
 )
 
+# Multi-bit PBS variants (tfhe-rs PARAM_MULTI_BIT_GROUP_{2,3}_MESSAGE_2_
+# CARRY_2_KS_PBS_TUNIFORM_2M128 analogs -- the parameter family the
+# GPU coprocessor bootstraps with). Same GLWE/N/noise/message layout as
+# the classic set; the LWE dimension for group 3 rises 880 -> 882 so n
+# is divisible by the group size (slightly MORE secure at equal noise;
+# this engine's constants are re-derived, see the header note).
+PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = (
+    dataclasses.replace(
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        name="PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128",
+    )
+)
+PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = (
+    dataclasses.replace(
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        name="PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128",
+        lwe_dimension=882,
+    )
+)
+
 # Boolean gate-bootstrap parameters (BASELINE.json config 1: N=1024 GLWE).
 BOOLEAN_PARAMS_128 = BooleanParams(
     name="BOOLEAN_PARAMS_128",
@@ -317,6 +337,8 @@ _REGISTRY = {
     for p in [
         PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
         PARAM_MESSAGE_1_CARRY_1_KS_PBS_TUNIFORM_2M128,
+        PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
         BOOLEAN_PARAMS_128,
         PARAMS_8B_2048,
         TOY_SHORTINT,
