@@ -70,10 +70,14 @@ def main():
     ct = encrypt_lwe(big_sk, encode(vals, P.delta), FheRng(2), P.glwe_noise)
     lut = si.generate_lut(P, np.arange(16, dtype=np.uint64))
 
-    @jax.jit
+    ks_jit = jax.jit(keyswitch)
+
     def step(cts, lut, bsk, ksk):
+        # NOT wrapped in an outer jit: multibit_programmable_bootstrap
+        # materializes the monomial table eagerly and feeds it to its
+        # inner jitted program as an argument (no captured constants)
         return multibit_programmable_bootstrap(
-            keyswitch(cts, ksk), lut, bsk, engine
+            ks_jit(cts, ksk), lut, bsk, engine
         )
 
     def sync(x):

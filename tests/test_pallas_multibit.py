@@ -64,7 +64,8 @@ def test_fused_matches_xla_bit_identical(g):
     acc = negacyclic_monomial_rotate(lut, (U64(two_n) - b_t)[..., None])
     acc = jnp.broadcast_to(acc, b_t.shape + (lut.shape[-2], n_poly))
     e_all = group_exponents(a_t, g, two_n)
-    got_glwe = multibit_rotate_fused(acc, e_all, bsk, engine)
+    from tfhe_tpu.core.multibit import monomial_x_table
+    got_glwe = multibit_rotate_fused(acc, e_all, bsk, engine, monomial_x_table(engine))
 
     np.testing.assert_array_equal(np.asarray(got_glwe), np.asarray(want_glwe))
 

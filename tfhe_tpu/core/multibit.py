@@ -120,11 +120,12 @@ def monomial_x_table(engine: NegacyclicEngine):
             polys[e, e] = 1
         else:
             polys[e, e - n] = -1
-    # concrete even when first called under a jit trace (the cache must
-    # never hold a tracer from one trace and serve it to another)
-    with jax.ensure_compile_time_eval():
-        f = engine.forward_small(jnp.asarray(polys))
-        return jnp.asarray(jax.device_get(engine.make_shoup(f)))
+    # NOTE: must be called EAGERLY (outside any jit trace): the cached
+    # table is a device array passed into jitted programs as an ARGUMENT
+    # -- never a captured constant (200 MB constants blow the remote
+    # compile payload; tracers would leak across traces).
+    f = engine.forward_small(jnp.asarray(polys))
+    return engine.make_shoup(f)
 
 
 def group_exponents(a_t: jax.Array, group_size: int, two_n: int) -> jax.Array:
@@ -134,12 +135,15 @@ def group_exponents(a_t: jax.Array, group_size: int, two_n: int) -> jax.Array:
     v_count = 1 << g
     n = a_t.shape[-1]
     grp = jnp.moveaxis(a_t, -1, 0).reshape(n // g, g, *a_t.shape[:-1])
-    pat = jnp.asarray(
-        [[(v >> i) & 1 for i in range(g)] for v in range(v_count)],
-        dtype=U64,
-    )  # (V, g)
-    e = jnp.tensordot(pat, grp, axes=[[1], [1]])  # (V, G?, ...) -> fix order
-    e = jnp.moveaxis(e, 0, 1)  # (G, V, ...)
+    # explicit masked adds over the g bits: u64 dot_general does not
+    # lower on TPU (X64 rewriting unimplemented), and g <= 4 anyway
+    e = jnp.zeros((n // g, v_count) + a_t.shape[:-1], dtype=U64)
+    for i in range(g):
+        mask = jnp.asarray(
+            [(v >> i) & 1 for v in range(v_count)], dtype=U64
+        )  # (V,)
+        shaped = mask.reshape((1, v_count) + (1,) * (a_t.ndim - 1))
+        e = e + shaped * grp[:, None, i]
     return e % U64(two_n)
 
 
@@ -148,12 +152,15 @@ def multibit_blind_rotate(
     lwe_ct: jax.Array,
     bsk: MultiBitBootstrapKey,
     engine: NegacyclicEngine,
+    table: jax.Array | None = None,
 ) -> jax.Array:
     """Blind rotation over n/g aggregated-GGSW steps.
 
     lut: (k+1, N) accumulator; lwe_ct: (..., n+1). XLA reference path
     (the fused Pallas group-step kernel in ops/pallas_multibit.py covers
-    the flagship shape and is selected automatically when available)."""
+    the flagship shape and is selected automatically when available).
+    `table` is the monomial_x_table -- computed eagerly by the caller
+    when this runs under an enclosing jit."""
     n_poly = bsk.poly_size
     two_n = 2 * n_poly
     log_2n = int(math.log2(two_n))
@@ -163,6 +170,8 @@ def multibit_blind_rotate(
     acc = negacyclic_monomial_rotate(lut, (U64(two_n) - b_t)[..., None])
     acc = jnp.broadcast_to(acc, b_t.shape + (lut.shape[-2], n_poly))
     e_all = group_exponents(a_t, bsk.group_size, two_n)  # (G, V, ...)
+    if table is None:
+        table = monomial_x_table(engine)
 
     if (
         getattr(engine, "use_pallas", False)
@@ -171,9 +180,8 @@ def multibit_blind_rotate(
     ):
         from tfhe_tpu.ops.pallas_multibit import multibit_rotate_fused
 
-        return multibit_rotate_fused(acc, e_all, bsk, engine)
+        return multibit_rotate_fused(acc, e_all, bsk, engine, table)
 
-    table = monomial_x_table(engine)
     gadget = bsk.gadget
 
     def step(carry, xs):
@@ -202,12 +210,21 @@ def multibit_blind_rotate(
 
 
 @functools.partial(jax.jit, static_argnames=("engine",))
+def _mb_pbs_jit(lwe_ct, lut, bsk, table, engine):
+    acc = multibit_blind_rotate(lut, lwe_ct, bsk, engine, table=table)
+    return sample_extract(acc, 0)
+
+
 def multibit_programmable_bootstrap(
     lwe_ct: jax.Array,
     lut: jax.Array,
     bsk: MultiBitBootstrapKey,
     engine: NegacyclicEngine,
 ) -> jax.Array:
-    """Multi-bit PBS: blind rotate (n/g steps) + sample extract."""
-    acc = multibit_blind_rotate(lut, lwe_ct, bsk, engine)
-    return sample_extract(acc, 0)
+    """Multi-bit PBS: blind rotate (n/g steps) + sample extract.
+
+    Eager wrapper: the monomial table is materialized OUTSIDE the trace
+    and enters the jitted program as an argument (device-resident, never
+    a baked-in constant)."""
+    table = monomial_x_table(engine)
+    return _mb_pbs_jit(lwe_ct, lut, bsk, table, engine)

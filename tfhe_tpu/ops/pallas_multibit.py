@@ -234,12 +234,11 @@ def multibit_bsk_to_step_layout(bsk_ntt: jax.Array):
     return v, s
 
 
-def multibit_rotate_fused(acc, e_all, bsk, engine) -> jax.Array:
+def multibit_rotate_fused(acc, e_all, bsk, engine, table) -> jax.Array:
     """Fused scan driver (core/multibit.py dispatches here on the
     flagship shape). acc: (..., 2, N) u64; e_all: (G, V, ...) subset-sum
-    exponents -- only the g single-bit rows are used (Horner form)."""
-    from tfhe_tpu.core.multibit import monomial_x_table
-
+    exponents -- only the g single-bit rows are used (Horner form);
+    table: monomial_x_table rows, passed in (jit-argument discipline)."""
     g = bsk.group_size
     batch = acc.shape[:-2]
     n_poly = acc.shape[-1]
@@ -265,22 +264,35 @@ def multibit_rotate_fused(acc, e_all, bsk, engine) -> jax.Array:
             [e_bits, jnp.zeros((e_bits.shape[0], g, pad), dtype=jnp.int32)],
             axis=2,
         )
-    table = monomial_x_table(engine)  # (2N, P, 2, N)
     bv, bs = multibit_bsk_to_step_layout(bsk.bsk_ntt)
-    step_fn = make_pallas_multibit_step(
-        engine, bsk.gadget.base_log, bsk.shift, g, tm=tm
-    )
-
-    def body(carry, xs):
-        clo, chi = carry
-        bvj, bsj, ej = xs  # (V*12, N) x2, (g, BP)
-        rows = table[ej]  # (g, BP, P, 2, N)
-        mv = rows[..., 0, :].reshape(g, bp * 3, n_poly)
-        ms = rows[..., 1, :].reshape(g, bp * 3, n_poly)
-        clo, chi = step_fn(clo, chi, mv, ms, bvj, bsj)
-        return (clo, chi), None
-
-    (lo, hi), _ = jax.lax.scan(body, (lo, hi), (bv, bs, e_bits))
+    scan_fn = _scan_rotate(engine, bsk.gadget.base_log, bsk.shift, g, tm)
+    lo, hi = scan_fn(lo, hi, bv, bs, e_bits, table)
     out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
     out = out.reshape(-1, 2, n_poly)[:b]
     return out.reshape(*batch, 2, n_poly)
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_rotate(engine, base_log: int, shift: int, g: int, tm: int):
+    """Jitted scan over group-steps; the monomial table and BSK enter as
+    ARGUMENTS (device-resident, never compile-payload constants)."""
+    step_fn = make_pallas_multibit_step(engine, base_log, shift, g, tm=tm)
+    n_poly = engine.n
+
+    @jax.jit
+    def run(lo, hi, bv, bs, e_bits, table):
+        bp = lo.shape[0] // 2
+
+        def body(carry, xs):
+            clo, chi = carry
+            bvj, bsj, ej = xs  # (V*12, N) x2, (g, BP)
+            rows = table[ej]  # (g, BP, P, 2, N)
+            mv = rows[..., 0, :].reshape(g, bp * 3, n_poly)
+            ms = rows[..., 1, :].reshape(g, bp * 3, n_poly)
+            clo, chi = step_fn(clo, chi, mv, ms, bvj, bsj)
+            return (clo, chi), None
+
+        (lo, hi), _ = jax.lax.scan(body, (lo, hi), (bv, bs, e_bits))
+        return lo, hi
+
+    return run
