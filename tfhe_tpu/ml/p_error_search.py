@@ -52,3 +52,49 @@ def binary_search_p_error(
         if lhi - llo < 0.1:
             break
     return PErrorSearchResult(p_error=best[0], accuracy=best[1], history=history)
+
+
+def search_p_error_for_module(
+    module,
+    x_val,
+    y_val,
+    target_accuracy: float | None = None,
+    tolerance: float = 0.01,
+    **kw,
+):
+    """Bind the binary search to a QuantizedModule's SIMULATE evaluation
+    (the reference's p_error_search.py driver: each probe sets every
+    TLU's p_error, runs simulation, scores accuracy).
+
+    module: calibrated QuantizedModule/QuantizedGraphModule whose TLU
+    ops expose `p_error`; y_val: class labels matched against the argmax
+    of the module output."""
+    import numpy as np
+
+    from tfhe_tpu.ml.common import FheMode
+    from tfhe_tpu.ml.quantized_module import QuantizedTLU
+
+    if hasattr(module, "ops"):
+        tlus = [op for op in module.ops if isinstance(op, QuantizedTLU)]
+    else:
+        tlus = [
+            n.op for n in module.nodes if isinstance(n.op, QuantizedTLU)
+        ]
+    y = np.asarray(y_val)
+
+    def eval_fn(p_error: float) -> float:
+        for t in tlus:
+            t.p_error = p_error
+        try:
+            out = module.forward(x_val, FheMode.SIMULATE)
+        finally:
+            for t in tlus:
+                t.p_error = 0.0
+        pred = np.argmax(out, axis=-1) if out.ndim > 1 else (out > 0.5)
+        return float((pred == y).mean())
+
+    if target_accuracy is None:
+        target_accuracy = eval_fn(2.0**-40)
+    return binary_search_p_error(
+        eval_fn, target_accuracy, tolerance=tolerance, **kw
+    )

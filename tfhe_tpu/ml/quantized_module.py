@@ -136,11 +136,17 @@ class QuantizedConv(QuantizedOp):
 class QuantizedTLU(QuantizedOp):
     """Elementwise nonlinearity as an n_bits-wide table lookup (the
     reference fuses all elementwise ops between linear layers into one
-    TLU; quantized_module_passes.py)."""
+    TLU; quantized_module_passes.py).
+
+    `p_error` models the PBS failure probability in SIMULATE mode: each
+    table input is bumped +-1 level with that probability (the blind
+    rotation's mod-switch rounding landing one box off -- the failure
+    mode p_error parameterizes). ml/p_error_search.py sweeps it."""
 
     fn: Callable[[np.ndarray], np.ndarray]
     name: str = "tlu"
     n_bits: int = 8
+    p_error: float = 0.0
     _q: UniformQuantizer | None = None
 
     def calibrate(self, x):
@@ -152,6 +158,15 @@ class QuantizedTLU(QuantizedOp):
             return self.fn(x)
         # quantize -> table -> dequantize: exactly what the PBS evaluates
         xq = self._q.quant(x)
+        if fhe == FheMode.SIMULATE and self.p_error > 0.0:
+            rs = np.random.RandomState(
+                int(self.p_error * 2**30) ^ xq.size
+            )
+            flip = rs.random(xq.shape) < self.p_error
+            delta = np.where(rs.random(xq.shape) < 0.5, -1, 1)
+            xq = np.clip(
+                xq + flip * delta, self._q.qmin, self._q.qmax
+            ).astype(np.int64)
         levels = np.arange(self._q.qmin, self._q.qmax + 1)
         table = self.fn(self._q.dequant(levels))
         return table[(xq - self._q.qmin).astype(np.int64)]
