@@ -65,6 +65,7 @@ def main():
     ksk = gen_keyswitch_key(big_sk, lwe_sk, P.ks, rng.fork(), P.lwe_noise)
     jax.device_get(bsk.bsk_ntt.ravel()[:1])
     keygen_s = time.time() - t0
+    print(f"keygen done in {keygen_s:.0f}s", file=sys.stderr, flush=True)
 
     vals = jnp.arange(batch, dtype=jnp.uint64) % jnp.uint64(4)
     ct = encrypt_lwe(big_sk, encode(vals, P.delta), FheRng(2), P.glwe_noise)
@@ -87,6 +88,7 @@ def main():
     out = step(ct, lut, bsk, ksk)
     sync(out)
     compile_s = time.time() - t1
+    print(f"compile+first step in {compile_s:.0f}s", file=sys.stderr, flush=True)
 
     space = P.plaintext_modulus // 2
     dec = np.asarray(decode(decrypt_lwe(big_sk, out), P.delta, space)) % 4

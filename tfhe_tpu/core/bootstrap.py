@@ -157,7 +157,13 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
     bv, bs = bsk_to_step_layout(bsk.bsk_ntt)
     rot_table = monomial_ntt_table(engine)  # (2N, P, 2, N)
     n_steps = bv.shape[0]
-    steps = next((k for k in (4, 2, 1) if n_steps % k == 0))  # CMux steps/call (8 exceeds VMEM)
+    # CMux steps per kernel call: 4 is the measured sweet spot within the
+    # default 16 MiB scoped-VMEM budget; TFHE_TPU_STEPS overrides for
+    # experiments (8 needs the raised vmem limit in pallas_blind_rotate)
+    import os
+
+    want = int(os.environ.get("TFHE_TPU_STEPS", "4"))
+    steps = next((k for k in (want, 4, 2, 1) if k > 0 and n_steps % k == 0))
     step_fn = _fused_step(engine, bsk.gadget.base_log, bsk.shift, tm, steps)
     bp = b + pad
     bv = bv.reshape(n_steps // steps, steps, *bv.shape[1:])

@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
@@ -240,6 +241,14 @@ def make_pallas_blind_rotate(
                 jax.ShapeDtypeStruct((b2, n), U32),
                 jax.ShapeDtypeStruct((b2, n), U32),
             ],
+            # steps > 4 exceeds the 16 MiB default scoped-VMEM budget;
+            # v5e's physical VMEM is far larger, so lift the scheduler
+            # cap for experiments (harmless at steps <= 4)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+            if steps > 4
+            else None,
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, rotv, rots, bskv, bsks,

@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tfhe_tpu.ops.folded_ntt import (
     FoldedCrtEngine,
@@ -214,6 +215,11 @@ def make_pallas_multibit_step(
                 jax.ShapeDtypeStruct((b2, n), U32),
                 jax.ShapeDtypeStruct((b2, n), U32),
             ],
+            # the 2^g inner products peak ~18 MB of scoped VMEM at g=3
+            # (the 16 MB default is a scheduler budget, not hardware)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, monov, monos, bskv, bsks,

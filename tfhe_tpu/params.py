@@ -309,6 +309,20 @@ TOY_SHORTINT_NOISELESS = dataclasses.replace(
     glwe_noise=NoiseDistribution.zero(),
 )
 
+# Operator-corpus params: N=256 doubles the PBS mod-switch margin (the
+# rounding drift of n+1 mask terms into 2N buckets is the ONLY error
+# source left at zero noise, and at N=128 it sits within one LUT box of
+# the boundary for long op chains -- mask-seed-flaky division results).
+TOY_SHORTINT_CORPUS = dataclasses.replace(
+    TOY_SHORTINT_NOISELESS,
+    name="TOY_SHORTINT_CORPUS",
+    polynomial_size=256,
+    # drift also scales with the LWE dimension (n+1 rounded mask terms):
+    # n=8 halves it again AND halves the blind-rotation steps, keeping
+    # corpus runtime near the N=128/n=16 set's
+    lwe_dimension=8,
+)
+
 TOY_BOOLEAN = BooleanParams(
     name="TOY_BOOLEAN",
     lwe_dimension=16,
@@ -343,6 +357,7 @@ _REGISTRY = {
         PARAMS_8B_2048,
         TOY_SHORTINT,
         TOY_SHORTINT_NOISELESS,
+        TOY_SHORTINT_CORPUS,
         TOY_BOOLEAN,
         TOY_MATMUL,
     ]
