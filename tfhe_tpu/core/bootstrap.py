@@ -74,10 +74,15 @@ def gen_bootstrap_key(
     ~0.9 GB instead of 1.9 GB. Kernels upcast per blind-rotation step.
     """
     ggsw = encrypt_ggsw_bits(glwe_sk, lwe_sk.key, gadget, rng, noise, engine)
-    msb = 44
+    # Full CRT headroom minus 1 bit for the rotation-free CMux's
+    # (X^a - 1) NTT-domain multiply (doubles the reconstructed bound).
+    # Round 1 hardcoded 44; the 2^20 key-rounding it left was the
+    # DOMINANT phase-noise term (measured ~2^55 vs the 2^54 mod-switch
+    # drift floor) -- at base_log 23 / N 2048 the range allows 53.
+    msb = min(55, engine.max_product_bits - (gadget.base_log - 1) - 1)
     # max_product_bits already accounts for the N-fold convolution sum
     assert (
-        gadget.base_log - 1 + msb <= engine.max_product_bits
+        gadget.base_log - 1 + msb + 1 <= engine.max_product_bits
     ), "gadget digits x key values exceed the CRT range"
     bsk_ntt, shift = ggsw_to_ntt(ggsw, engine, msb_bits=msb)
     return BootstrapKey(bsk_ntt=bsk_ntt, gadget=gadget, shift=shift)

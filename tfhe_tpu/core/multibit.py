@@ -99,8 +99,15 @@ def gen_multibit_bootstrap_key(
     ggsw = encrypt_ggsw_bits(
         glwe_sk, ind.reshape(-1), gadget, rng, noise, engine
     )  # (G*V, D, k+1, N)
-    msb = 44
-    assert gadget.base_log - 1 + msb <= engine.max_product_bits
+    # store the key at the full CRT headroom MINUS the aggregation bits:
+    # the reconstructed integer is a sum of 2^g monomial-rotated
+    # convolutions, so the per-term bound must shrink by g bits or rare
+    # coefficient sums wrap the CRT range (measured as sporadic 2^60+
+    # phase errors). Classic hardcodes 44; at base_log 23 / N 2048 / g=3
+    # this gives 51 -- the key-rounding noise term drops 2^7, leaving
+    # the standard input mod-switch drift dominant (like classic).
+    msb = min(55, engine.max_product_bits - (gadget.base_log - 1) - group_size)
+    assert gadget.base_log - 1 + msb + group_size <= engine.max_product_bits
     bsk_ntt, shift = ggsw_to_ntt(ggsw, engine, msb_bits=msb)
     bsk_ntt = bsk_ntt.reshape(n_groups, v_count, *bsk_ntt.shape[1:])
     return MultiBitBootstrapKey(
