@@ -44,11 +44,18 @@ class BootstrapKey:
     The key is modulus-switched to 64-shift bits before the transform so
     gadget digits x key products fit the 3-prime CRT range; `shift` scales
     results back (the added rounding noise is negligible next to the
-    external-product noise, see tfhe_tpu.noise)."""
+    external-product noise, see tfhe_tpu.noise).
+
+    `rot_table` is the (2N, P, 2, N) Shoup table of NTT(X^e - 1) rows the
+    fused kernel gathers per step. It rides the key pytree so it enters
+    every jitted program as an ARGUMENT -- an lru-cached module-level
+    table leaks tracers across traces (multi-op workloads crash) and
+    would bake 200 MB constants into remote compiles."""
 
     bsk_ntt: jax.Array
     gadget: GadgetParams
     shift: int
+    rot_table: jax.Array | None = None
 
     @property
     def lwe_dim(self) -> int:
@@ -74,6 +81,7 @@ def gen_bootstrap_key(
     ~0.9 GB instead of 1.9 GB. Kernels upcast per blind-rotation step.
     """
     ggsw = encrypt_ggsw_bits(glwe_sk, lwe_sk.key, gadget, rng, noise, engine)
+    rot_table = _monomial_rot_rows(engine)
     # Full CRT headroom minus 1 bit for the rotation-free CMux's
     # (X^a - 1) NTT-domain multiply (doubles the reconstructed bound).
     # Round 1 hardcoded 44; the 2^20 key-rounding it left was the
@@ -85,7 +93,27 @@ def gen_bootstrap_key(
         gadget.base_log - 1 + msb + 1 <= engine.max_product_bits
     ), "gadget digits x key values exceed the CRT range"
     bsk_ntt, shift = ggsw_to_ntt(ggsw, engine, msb_bits=msb)
-    return BootstrapKey(bsk_ntt=bsk_ntt, gadget=gadget, shift=shift)
+    return BootstrapKey(
+        bsk_ntt=bsk_ntt, gadget=gadget, shift=shift, rot_table=rot_table
+    )
+
+
+def _monomial_rot_rows(engine) -> jax.Array:
+    """(2N, P, 2, N) Shoup pairs of NTT(X^e - 1), e in [0, 2N). Built
+    with plain traced ops so it is safe both eagerly and inside a jitted
+    keygen (it returns as a pytree leaf, never a cached tracer)."""
+    import numpy as np
+
+    n = engine.n
+    polys = np.zeros((2 * n, n), dtype=np.int32)
+    for e in range(2 * n):
+        if e < n:
+            polys[e, e] += 1
+        else:
+            polys[e, e - n] -= 1
+        polys[e, 0] -= 1
+    f = engine.forward_small(jnp.asarray(polys))
+    return engine.make_shoup(f)
 
 
 def blind_rotate(
@@ -140,6 +168,12 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
         monomial_ntt_table,
     )
 
+    rot_table = (
+        bsk.rot_table
+        if bsk.rot_table is not None
+        else monomial_ntt_table(engine)  # legacy deserialized keys
+    )
+
     batch = acc.shape[:-2]
     n_poly = acc.shape[-1]
     b = 1
@@ -160,7 +194,6 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
             [e, jnp.zeros((e.shape[0], pad), dtype=jnp.int32)], axis=1
         )
     bv, bs = bsk_to_step_layout(bsk.bsk_ntt)
-    rot_table = monomial_ntt_table(engine)  # (2N, P, 2, N)
     n_steps = bv.shape[0]
     # CMux steps per kernel call: 4 is the measured sweet spot within the
     # default 16 MiB scoped-VMEM budget; TFHE_TPU_STEPS overrides for

@@ -56,12 +56,15 @@ U64 = jnp.uint64
 @pytree_dataclass(meta=("gadget", "shift", "group_size"))
 class MultiBitBootstrapKey:
     """(n_groups, 2^g, D, k+1, P, 2, N) u32 Shoup pairs: GGSW(indicator)
-    per (group, bit pattern)."""
+    per (group, bit pattern). `rot_table` = NTT(X^e) Shoup rows, riding
+    the key pytree for the same jit-argument discipline as
+    BootstrapKey.rot_table."""
 
     bsk_ntt: jax.Array
     gadget: GadgetParams
     shift: int
     group_size: int
+    rot_table: jax.Array | None = None
 
     @property
     def n_groups(self) -> int:
@@ -111,8 +114,23 @@ def gen_multibit_bootstrap_key(
     bsk_ntt, shift = ggsw_to_ntt(ggsw, engine, msb_bits=msb)
     bsk_ntt = bsk_ntt.reshape(n_groups, v_count, *bsk_ntt.shape[1:])
     return MultiBitBootstrapKey(
-        bsk_ntt=bsk_ntt, gadget=gadget, shift=shift, group_size=g
+        bsk_ntt=bsk_ntt, gadget=gadget, shift=shift, group_size=g,
+        rot_table=_monomial_x_rows(engine),
     )
+
+
+def _monomial_x_rows(engine) -> jax.Array:
+    """(2N, P, 2, N) Shoup pairs of NTT(X^e): plain traced ops, safe
+    eagerly and inside a jitted keygen (returned as a pytree leaf)."""
+    n = engine.n
+    polys = np.zeros((2 * n, n), dtype=np.int32)
+    for e in range(2 * n):
+        if e < n:
+            polys[e, e] = 1
+        else:
+            polys[e, e - n] = -1
+    f = engine.forward_small(jnp.asarray(polys))
+    return engine.make_shoup(f)
 
 
 @functools.lru_cache(maxsize=None)
@@ -178,7 +196,11 @@ def multibit_blind_rotate(
     acc = jnp.broadcast_to(acc, b_t.shape + (lut.shape[-2], n_poly))
     e_all = group_exponents(a_t, bsk.group_size, two_n)  # (G, V, ...)
     if table is None:
-        table = monomial_x_table(engine)
+        table = (
+            bsk.rot_table
+            if bsk.rot_table is not None
+            else monomial_x_table(engine)  # legacy deserialized keys
+        )
 
     if (
         getattr(engine, "use_pallas", False)
