@@ -126,15 +126,21 @@ class PallasNttTables:
             gss.append(sh(gm))
             gis.append(gim.astype(np.uint32))
             giss.append(sh(gim))
-        ld = _limb_dtype()
-        self.v = jnp.asarray(np.stack(vs)).astype(ld)  # (3, 4C, C)
-        self.wr = jnp.asarray(np.stack(wrs)).astype(ld)  # (3, 4R, R)
-        self.wi = jnp.asarray(np.stack(wis)).astype(ld)  # (3, 4R, R)
-        self.vi = jnp.asarray(np.stack(vis)).astype(ld)  # (3, 4C, C)
-        self.g = jnp.asarray(np.stack(gs))  # (3, C, R) u32
-        self.gs = jnp.asarray(np.stack(gss))
-        self.gi = jnp.asarray(np.stack(gis))
-        self.gis = jnp.asarray(np.stack(giss))
+        # NUMPY (not jnp): these tables are built lazily, possibly inside
+        # a jit trace; jnp arrays created there are constant TRACERS, and
+        # caching them (lru_cache on the step builders) leaks them into
+        # other traces (UnexpectedTracerError on the second program).
+        # As numpy they convert to per-program constants at each trace --
+        # ~600 KB total, negligible in the compile payload.
+        ld = np.int8 if _limb_dtype() == jnp.int8 else np.float32
+        self.v = np.stack(vs).astype(ld)  # (3, 4C, C)
+        self.wr = np.stack(wrs).astype(ld)  # (3, 4R, R)
+        self.wi = np.stack(wis).astype(ld)  # (3, 4R, R)
+        self.vi = np.stack(vis).astype(ld)  # (3, 4C, C)
+        self.g = np.stack(gs)  # (3, C, R) u32
+        self.gs = np.stack(gss)
+        self.gi = np.stack(gis)
+        self.gis = np.stack(giss)
 
 
 def _split_list(x, nplanes=4):
