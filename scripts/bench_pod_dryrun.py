@@ -41,7 +41,7 @@ def main():
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     ck, sk = si.keygen(P, seed=3)
     engine = si.engine_for(P)
-    step = make_sharded_pbs_step(mesh, engine, P.ks, P.pbs)
+    step = make_sharded_pbs_step(mesh, engine, P.ks, P.pbs, bsk_shift=sk.bsk.shift)
 
     rng = FheRng(4)
     vals = jnp.arange(batch, dtype=jnp.uint64) % jnp.uint64(4)

@@ -30,7 +30,7 @@ def test_sharded_pbs_matches_reference(keys, n_model):
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(n_model=n_model)
     engine = si.engine_for(P)
-    step = make_sharded_pbs_step(mesh, engine, P.ks, P.pbs)
+    step = make_sharded_pbs_step(mesh, engine, P.ks, P.pbs, bsk_shift=sk.bsk.shift)
 
     rng = FheRng(61)
     vals = jnp.asarray(np.arange(16).repeat(2), dtype=U64)  # B=32

@@ -100,7 +100,7 @@ def make_sharded_pbs_step(
     engine: NegacyclicEngine,
     ks_gadget,
     pbs_gadget,
-    bsk_shift: int = 20,
+    bsk_shift: int | None = None,
 ):
     """Build the jitted distributed PBS step.
 
@@ -110,7 +110,12 @@ def make_sharded_pbs_step(
       bsk_ntt: (n, D, k+1, P, L, N), sharded over "model" on the D axis
       ksk_arr: (n_in, level, n_small+1), sharded over "model" on n_in
     and returns (B, big_n+1) bootstrapped ciphertexts sharded over "data".
+
+    bsk_shift MUST match the key's modulus-switched storage
+    (BootstrapKey.shift -- keygen now derives it from the CRT headroom,
+    so a hardcoded value goes silently wrong).
     """
+    assert bsk_shift is not None, "pass bsk_shift=sk.bsk.shift"
 
     def step(cts, lut, bsk_ntt, ksk_arr):
         small = _keyswitch_sharded(cts, ksk_arr, ks_gadget, "model")
