@@ -38,9 +38,18 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     bits = 64
 
-    P = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+    # multi-bit server key by default (the production engine; 1.8x the
+    # classic PBS rate); TFHE_BENCH_CLASSIC=1 uses the classic key
+    import os
+
+    if os.environ.get("TFHE_BENCH_CLASSIC"):
+        P = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+        mb_group = None
+    else:
+        P = tp.PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+        mb_group = 3
     t0 = time.time()
-    ck, sk = si.keygen(P, seed=1)
+    ck, sk = si.keygen(P, seed=1, multibit_group=mb_group)
     jax.device_get(sk.bsk.bsk_ntt.ravel()[:1])
     keygen_s = time.time() - t0
 

@@ -94,3 +94,33 @@ def test_multibit_matches_classic_pbs():
         )
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_radix_ops_over_multibit_key():
+    """The whole shortint/radix layer rides a multi-bit server key
+    transparently (keygen(multibit_group=g) + key-type dispatch in
+    apply_lut / integer._pbs)."""
+    import dataclasses
+
+    from tfhe_tpu.models import integer as ri
+    from tfhe_tpu.params import GadgetParams
+
+    P2 = dataclasses.replace(
+        tp.TOY_SHORTINT_CORPUS, name="TOY_MB_RADIX",
+        pbs=GadgetParams(base_log=23, level=1),
+    )
+    ck, sk = si.keygen(P2, seed=3, multibit_group=2)
+    from tfhe_tpu.core.multibit import MultiBitBootstrapKey
+
+    assert isinstance(sk.bsk, MultiBitBootstrapKey)
+    a = ri.encrypt_radix(ck, jnp.asarray([177, 23], dtype=U64), 8, FheRng(5))
+    b = ri.encrypt_radix(ck, jnp.asarray([99, 201], dtype=U64), 8, FheRng(6))
+    np.testing.assert_array_equal(
+        np.asarray(ri.decrypt_radix(ck, ri.add(sk, a, b))), [20, 224]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ri.decrypt_radix(ck, ri.mul(sk, a, b))), [115, 15]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(si.decrypt(ck, ri.lt(sk, a, b))) & 1, [0, 1]
+    )

@@ -255,5 +255,7 @@ def multibit_programmable_bootstrap(
     Eager wrapper: the monomial table is materialized OUTSIDE the trace
     and enters the jitted program as an argument (device-resident, never
     a baked-in constant)."""
-    table = monomial_x_table(engine)
+    table = (
+        bsk.rot_table if bsk.rot_table is not None else monomial_x_table(engine)
+    )
     return _mb_pbs_jit(lwe_ct, lut, bsk, table, engine)

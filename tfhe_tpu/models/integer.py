@@ -162,9 +162,17 @@ def trivial_radix(params: ShortintParams, values, nbits: int) -> RadixCiphertext
 
 
 def _pbs(sk: ServerKey, ct: jax.Array, lut: jax.Array) -> jax.Array:
-    """Raw batched PBS: ct (..., kN+1), lut broadcastable (..., k+1, N)."""
+    """Raw batched PBS: ct (..., kN+1), lut broadcastable (..., k+1, N).
+    Dispatches on the key type (classic vs multi-bit), like si.apply_lut."""
     engine = si.engine_for(sk.params)
     small = keyswitch(ct, sk.ksk)
+    from tfhe_tpu.core.multibit import (
+        MultiBitBootstrapKey,
+        multibit_programmable_bootstrap,
+    )
+
+    if isinstance(sk.bsk, MultiBitBootstrapKey):
+        return multibit_programmable_bootstrap(small, lut, sk.bsk, engine)
     return programmable_bootstrap(small, lut, sk.bsk, engine)
 
 

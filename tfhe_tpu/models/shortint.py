@@ -92,10 +92,15 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _keygen_program(params: ShortintParams):
+def _keygen_program(params: ShortintParams, multibit_group: int | None = None):
     """One jitted program for the whole keygen: eager keygen paid the
     ~37 ms dispatch floor per op plus one device compile per engine
-    method/shape (PERF_NOTES.md); fused it is a single compile."""
+    method/shape (PERF_NOTES.md); fused it is a single compile.
+
+    multibit_group=g builds a MULTI-BIT bootstrap key instead of the
+    classic one (core/multibit.py; the 1.8x-faster production engine) --
+    apply_lut dispatches on the key type, so every shortint/radix op
+    rides it transparently."""
     engine = get_engine(params.polynomial_size)
 
     @jax.jit
@@ -106,9 +111,17 @@ def _keygen_program(params: ShortintParams):
         )
         small_sk = gen_lwe_secret_key(rng, params.lwe_dimension)
         big_sk = glwe_to_lwe_secret_key(glwe_sk)
-        bsk = gen_bootstrap_key(
-            small_sk, glwe_sk, params.pbs, rng, params.glwe_noise, engine
-        )
+        if multibit_group is None:
+            bsk = gen_bootstrap_key(
+                small_sk, glwe_sk, params.pbs, rng, params.glwe_noise, engine
+            )
+        else:
+            from tfhe_tpu.core.multibit import gen_multibit_bootstrap_key
+
+            bsk = gen_multibit_bootstrap_key(
+                small_sk, glwe_sk, params.pbs, multibit_group, rng,
+                params.glwe_noise, engine,
+            )
         ksk = gen_keyswitch_key(big_sk, small_sk, params.ks, rng, params.lwe_noise)
         ck = ClientKey(glwe_key=glwe_sk, lwe_key=small_sk, params=params)
         sk = ServerKey(bsk=bsk, ksk=ksk, params=params)
@@ -117,8 +130,15 @@ def _keygen_program(params: ShortintParams):
     return go
 
 
-def keygen(params: ShortintParams, seed: int = 0) -> tuple[ClientKey, ServerKey]:
-    return _keygen_program(params)(jax.random.key(seed))
+def keygen(
+    params: ShortintParams, seed: int = 0, multibit_group: int | None = None
+) -> tuple[ClientKey, ServerKey]:
+    if multibit_group is None and "MULTI_BIT_GROUP_" in params.name:
+        # the multi-bit parameter sets imply their group size
+        multibit_group = int(
+            params.name.split("MULTI_BIT_GROUP_")[1].split("_")[0]
+        )
+    return _keygen_program(params, multibit_group)(jax.random.key(seed))
 
 
 def engine_for(params: ShortintParams) -> NegacyclicEngine:
@@ -198,11 +218,21 @@ def generate_lut_bivariate(params: ShortintParams, f: Callable) -> jax.Array:
 
 
 def apply_lut(sk: ServerKey, c: Ciphertext, lut: jax.Array, out_degree: int) -> Ciphertext:
-    """The PBS atom: keyswitch down + programmable bootstrap with `lut`."""
+    """The PBS atom: keyswitch down + programmable bootstrap with `lut`.
+    Dispatches on the key type: multi-bit keys (keygen(multibit_group=g))
+    run the n/g-step aggregated rotation."""
     p = sk.params
     engine = engine_for(p)
     small = keyswitch(c.ct, sk.ksk)
-    out = programmable_bootstrap(small, lut, sk.bsk, engine)
+    from tfhe_tpu.core.multibit import (
+        MultiBitBootstrapKey,
+        multibit_programmable_bootstrap,
+    )
+
+    if isinstance(sk.bsk, MultiBitBootstrapKey):
+        out = multibit_programmable_bootstrap(small, lut, sk.bsk, engine)
+    else:
+        out = programmable_bootstrap(small, lut, sk.bsk, engine)
     return Ciphertext(ct=out, params=p, degree=out_degree, noise_level=1)
 
 
