@@ -542,8 +542,13 @@ class FhevmInstance:
 def create_instance(
     params: Optional[ShortintParams] = None, seed: int = 0, chain_id: int = 31337
 ) -> FhevmInstance:
+    """Default parameter set: the multi-bit GROUP_3 family -- the
+    production engine (1.8x the classic CMux rate, bench.py headline;
+    si.keygen infers the group size from the set name). Pass
+    PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 explicitly for the
+    classic engine."""
     if params is None:
         from tfhe_tpu import params as tp
 
-        params = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+        params = tp.PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
     return FhevmInstance(params, seed=seed, chain_id=chain_id)
