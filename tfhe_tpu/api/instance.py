@@ -313,19 +313,15 @@ class FhevmInstance:
             or op in ("div", "rem") or op in self.SHIFT_OPS
         ) and not isinstance(args[0], bytes) and isinstance(args[1], bytes):
             b_t, b = self._get_radix(args[1])
-            lifted = ri.trivial_radix(
-                self.params,
-                jnp.asarray(int(args[0]) % (1 << b.nbits), dtype=U64),
-                b.nbits,
-            )
+            lifted = self._lift_scalar(int(args[0]), b.nbits)
             res_t, res = self._exec_radix_op(op, b_t, lifted, args[1])
             return self._put(res_t, res, op, list(args[:2]))
         if op in self.BINARY_OPS or op in self.CMP_OPS:
             a_t, a = self._get_radix(args[0])
             if isinstance(args[1], bytes):
                 b_t, b = self._get_radix(args[1])
-            else:  # scalar operand
-                b = ri.trivial_radix(self.params, jnp.asarray(int(args[1]) % (1 << a.nbits), dtype=U64), a.nbits)
+            else:  # scalar operand (bigint-aware for >64-bit types)
+                b = self._lift_scalar(int(args[1]), a.nbits)
                 b_t = a_t
             if op in self.BINARY_OPS:
                 res = self.BINARY_OPS[op](self._sk, a, b)
@@ -504,6 +500,22 @@ class FhevmInstance:
         t, ct = self._store[handle]
         assert isinstance(ct, ri.RadixCiphertext), f"{t.name} is not a radix type"
         return t, ct
+
+    def _lift_scalar(self, v: int, nbits: int):
+        """Scalar operand -> trivial radix ct (the coprocessor's scalar
+        overloads); values wider than u64 (eaddress/ebytes) split
+        host-side."""
+        v %= 1 << nbits
+        if nbits <= 64:
+            return ri.trivial_radix(
+                self.params, jnp.asarray(v, dtype=U64), nbits
+            )
+        return ri.RadixCiphertext(
+            blocks=ri.trivial_radix_bigint(self.params, [v], nbits).blocks[0],
+            params=self.params,
+            degrees=(self.params.message_modulus - 1,)
+            * ri.blocks_for_bits(self.params, nbits),
+        )
 
     def _exec_radix_op(self, op: str, b_t, a_ct, hb: bytes):
         """Run op with a pre-built left operand (scalar-left lifting)."""

@@ -174,12 +174,16 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
         else monomial_ntt_table(engine)  # legacy deserialized keys
     )
 
+    import os
+
     batch = acc.shape[:-2]
     n_poly = acc.shape[-1]
     b = 1
     for d in batch:
         b *= d
-    tm = 16
+    # kernel tile rows (ciphertexts per grid step); >16 needs the raised
+    # vmem limit in pallas_blind_rotate (experiments only)
+    tm = int(os.environ.get("TFHE_TPU_TM", "16"))
     pad = (-b) % tm
     flat = acc.reshape(b, 2, n_poly)
     if pad:
@@ -198,8 +202,6 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
     # CMux steps per kernel call: 4 is the measured sweet spot within the
     # default 16 MiB scoped-VMEM budget; TFHE_TPU_STEPS overrides for
     # experiments (8 needs the raised vmem limit in pallas_blind_rotate)
-    import os
-
     want = int(os.environ.get("TFHE_TPU_STEPS", "4"))
     steps = next((k for k in (want, 4, 2, 1) if k > 0 and n_steps % k == 0))
     step_fn = _fused_step(engine, bsk.gadget.base_log, bsk.shift, tm, steps)

@@ -147,6 +147,23 @@ def decrypt_radix_bigint(ck: ClientKey, c: RadixCiphertext) -> list:
     return out
 
 
+def trivial_radix_bigint(
+    params: ShortintParams, values: list, nbits: int
+) -> RadixCiphertext:
+    """Trivial encryption of python ints wider than u64 (eaddress/ebytes
+    scalar operands)."""
+    p = params
+    nb = blocks_for_bits(p, nbits)
+    bpb = _bits_per_block(p)
+    mask = p.message_modulus - 1
+    rows = [[(int(v) >> (bpb * i)) & mask for i in range(nb)] for v in values]
+    blocks_pt = jnp.asarray(rows, dtype=U64)
+    ct = trivial_lwe(encode(blocks_pt, p.delta), p.big_lwe_dimension)
+    return RadixCiphertext(
+        blocks=ct, params=p, degrees=(p.message_modulus - 1,) * nb
+    )
+
+
 def trivial_radix(params: ShortintParams, values, nbits: int) -> RadixCiphertext:
     p = params
     nb = blocks_for_bits(p, nbits)

@@ -247,7 +247,7 @@ def make_pallas_blind_rotate(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             )
-            if steps > 4
+            if steps > 4 or tm > 16
             else None,
             interpret=jax.default_backend() != "tpu",
         )(
