@@ -72,7 +72,7 @@ def main():
                         "batch": batch,
                         "iters": iters,
                         "engine": "multibit_group3",
-                        "classic_pbs_per_s_artifact": 221.08,
+                        "classic_pbs_per_s_artifact": 269.79,
                         **mb["detail"],
                         "backend": jax.devices()[0].platform,
                     },

@@ -181,9 +181,10 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
     b = 1
     for d in batch:
         b *= d
-    # kernel tile rows (ciphertexts per grid step); >16 needs the raised
-    # vmem limit in pallas_blind_rotate (experiments only)
-    tm = int(os.environ.get("TFHE_TPU_TM", "16"))
+    # kernel tile rows (ciphertexts per grid step): 32 measured 21%
+    # faster than round 1's 16 (needs the raised vmem limit, which
+    # pallas_blind_rotate sets for tm > 16)
+    tm = int(os.environ.get("TFHE_TPU_TM", "32"))
     pad = (-b) % tm
     flat = acc.reshape(b, 2, n_poly)
     if pad:
