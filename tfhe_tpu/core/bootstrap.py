@@ -181,10 +181,17 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
     b = 1
     for d in batch:
         b *= d
-    # kernel tile rows (ciphertexts per grid step): 32 measured 21%
-    # faster than round 1's 16 (needs the raised vmem limit, which
-    # pallas_blind_rotate sets for tm > 16)
-    tm = int(os.environ.get("TFHE_TPU_TM", "32"))
+    # adaptive kernel tile rows (ciphertexts per grid step): 32 measured
+    # 21% faster than round 1's 16 at batch 512 (needs the raised vmem
+    # limit, which pallas_blind_rotate sets for tm > 16); small batches
+    # shrink the tile so padding never dominates
+    env_tm = os.environ.get("TFHE_TPU_TM")
+    if env_tm:
+        tm = int(env_tm)
+    else:
+        tm = 16
+        while tm < 32 and tm < b:
+            tm *= 2
     pad = (-b) % tm
     flat = acc.reshape(b, 2, n_poly)
     if pad:

@@ -245,7 +245,7 @@ def make_pallas_blind_rotate(
             # v5e's physical VMEM is far larger, so lift the scheduler
             # cap for experiments (harmless at steps <= 4)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=110 * 1024 * 1024
             )
             if steps > 4 or tm > 16
             else None,

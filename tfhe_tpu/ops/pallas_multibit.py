@@ -218,7 +218,7 @@ def make_pallas_multibit_step(
             # the 2^g inner products peak ~18 MB of scoped VMEM at g=3
             # (the 16 MB default is a scheduler budget, not hardware)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024
+                vmem_limit_bytes=110 * 1024 * 1024
             ),
             interpret=jax.default_backend() != "tpu",
         )(
@@ -251,7 +251,16 @@ def multibit_rotate_fused(acc, e_all, bsk, engine, table) -> jax.Array:
     batch = acc.shape[:-2]
     n_poly = acc.shape[-1]
     b = int(np.prod(batch)) if batch else 1
-    tm = int(os.environ.get("TFHE_TPU_TM", "32"))  # 32: 475 vs 397 PBS/s at 16
+    # adaptive tile rows: bigger tiles = fewer grid steps + larger matmul
+    # M dims (16/32/64/128 measured 397/476/487/499 PBS/s at batch 512);
+    # small batches shrink the tile so padding never dominates
+    env_tm = os.environ.get("TFHE_TPU_TM")
+    if env_tm:
+        tm = int(env_tm)
+    else:
+        tm = 16
+        while tm < 128 and tm < b:
+            tm *= 2
     pad = (-b) % tm
     flat = acc.reshape(b, 2, n_poly)
     if pad:
