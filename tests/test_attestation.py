@@ -190,3 +190,24 @@ def test_http_input_proof_and_verify(inst):
         assert r2["valid"] is False
     finally:
         srv.stop()
+
+
+def test_contract_chain_id_bound_into_struct(inst):
+    """Advisor round-2: the EIP-712 struct must bind contractChainId
+    (reference sendEncryption.ts:390-397) so two host chains sharing a
+    gateway domain cannot replay each other's attestations."""
+    from tfhe_tpu.api.attestation import ciphertext_verification_digest
+
+    handles = [bytes([i]) * 32 for i in range(2)]
+    common = dict(
+        handles=handles, user=USER, contract=CONTRACT,
+        extra_data=b"\x00", chain_id=inst.chain_id,
+        verifying_contract="0x" + "69" * 20,
+    )
+    d_default = ciphertext_verification_digest(**common)
+    d_same = ciphertext_verification_digest(
+        **common, contract_chain_id=inst.chain_id
+    )
+    d_other = ciphertext_verification_digest(**common, contract_chain_id=777)
+    assert d_default == d_same  # default: host chain == gateway chain
+    assert d_default != d_other  # different host chain -> different digest

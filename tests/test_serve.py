@@ -161,3 +161,87 @@ def test_typed_error_hierarchy(client):
     h2 = client.evaluate("add", h, 1)["handle"]
     with pytest.raises(FheClientForbiddenError):
         client.decrypt(h2)
+
+
+def test_evaluate_mixed_op_batching(client):
+    """VERDICT round-2 item 9: interleaved sub/add/le/select traffic (the
+    ERC20 transfer pattern) buckets by (op, type, width) -- NOT adjacency
+    -- so 16 mixed ops share exactly 4 device programs, select included."""
+    a = [client.encrypt(10 + i, "euint8")["handle"] for i in range(4)]
+    b = [client.encrypt(3, "euint8")["handle"] for _ in range(4)]
+    c = [client.evaluate("lt", b[i], a[i])["handle"] for i in range(4)]
+    ops = []
+    for i in range(4):
+        ops.append(("sub", [a[i], b[i]]))
+        ops.append(("add", [a[i], b[i]]))
+        ops.append(("le", [b[i], a[i]]))
+        ops.append(("select", [c[i], a[i], b[i]]))
+    r = client.evaluate_many(ops)
+    assert r["batchedGroups"] == 4
+    assert r["singleOps"] == 0
+    for k in range(4):
+        hsub, hadd, hle, hsel = r["handles"][4 * k : 4 * k + 4]
+        for h, want in ((hsub, 7 + k), (hadd, 13 + k), (hle, 1), (hsel, 10 + k)):
+            client.allow(h)
+            assert client.decrypt(h) == want
+
+
+def test_evaluate_batch_heterogeneous_falls_back(client):
+    """Advisor round-2: ebool operands, mixed widths, scalar-left args and
+    >64-bit scalars inside an op list must not 500 -- non-uniform requests
+    fall back to per-op execution."""
+    b1 = client.encrypt(1, "ebool")["handle"]
+    b2 = client.encrypt(0, "ebool")["handle"]
+    u8 = client.encrypt(5, "euint8")["handle"]
+    u16 = client.encrypt(300, "euint16")["handle"]
+    big1 = client.encrypt((1 << 100) + 5, "euint128")["handle"]
+    big2 = client.encrypt(1 << 99, "euint128")["handle"]
+    r = client.evaluate_many([
+        ("eq", [b1, b2]),            # ebool operands
+        ("add", [u8, u8]),
+        ("add", [u16, u16]),         # width differs from previous add
+        ("add", [7, u8]),            # scalar-LEFT
+        ("add", [big1, 1 << 90]),    # >64-bit scalar rhs (batched pair)
+        ("add", [big2, 1 << 90]),
+    ])
+    wants = (0, 10, 600, 12, (1 << 100) + 5 + (1 << 90), (1 << 99) + (1 << 90))
+    for h, want in zip(r["handles"], wants):
+        client.allow(h)
+        assert client.decrypt(h) == want
+    # the two euint128 scalar adds share one key -> one batched group
+    assert r["batchedGroups"] == 1
+
+
+def test_evaluate_many_unknown_handle_is_400(client):
+    """A list referencing handles that never materialize is a client
+    error (400), not a worker 500."""
+    from tfhe_tpu.api.client import FheClientBadRequestError
+
+    ghost = "0x" + "77" * 32
+    with pytest.raises(FheClientBadRequestError):
+        client.evaluate_many([("add", [ghost, ghost])])
+
+
+def test_v2_failed_job_raises_typed_error(client):
+    """Advisor round-2: polling a permanently FAILED v2 job must re-raise
+    the job's typed error immediately (no retry loop ending in
+    FheClientMaxRetryError)."""
+    from tfhe_tpu.api.client import (
+        FheClientError,
+        FheClientMaxRetryError,
+        FheClientNotFoundError,
+    )
+
+    rid = client.submit_v2("/v2/evaluate", {"op": "frobnicate", "args": []})
+    import time
+
+    for _ in range(200):
+        try:
+            client.poll_v2(rid, deadline=10.0)
+        except FheClientError as e:
+            assert not isinstance(e, FheClientMaxRetryError)
+            assert not isinstance(e, FheClientNotFoundError)
+            break
+        time.sleep(0.02)
+    else:
+        raise AssertionError("failed job never surfaced an error")

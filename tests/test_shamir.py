@@ -120,3 +120,24 @@ def test_t_equals_n(setup):
     addrs = [s.address for s in shares]
     ps = [shamir.partial_decrypt(ct, s, nonce=b"r") for s in shares]
     assert shamir.combine(ct, ps, addrs, 4, P.delta, MOD, nonce=b"r") == msg
+
+
+def test_flood_noise_is_secret(setup):
+    """Advisor round-2 (high): the smudging noise e_i must be
+    unpredictable to observers. With the fix, e_i comes from a SECRET
+    per-party PRF key: a party with a different flood_key (same public
+    nonce/index/ct) produces a different partial, so observers cannot
+    recompute e_i from public values and strip it off d_i."""
+    import dataclasses
+
+    _, shares, addrs, ct, msg = setup
+    p0 = shamir.partial_decrypt(ct, shares[0], nonce=b"reqX")
+    twin = dataclasses.replace(shares[0], flood_key=b"\x99" * 32)
+    p0_twin = shamir.partial_decrypt(ct, twin, nonce=b"reqX")
+    # same share, same public context -- only the secret key differs
+    assert p0.value != p0_twin.value
+    # distinct requests under one key also decorrelate (nonce + ct mixed)
+    p0_other = shamir.partial_decrypt(ct, shares[0], nonce=b"reqY")
+    assert p0.value != p0_other.value
+    # and every dealt share carries a key (no public-fallback path)
+    assert all(len(s.flood_key) == 32 for s in shares)

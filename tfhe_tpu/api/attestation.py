@@ -31,9 +31,14 @@ _DOMAIN_TYPEHASH = keccak256(
     b"EIP712Domain(string name,string version,uint256 chainId,"
     b"address verifyingContract)"
 )
+# Struct fields match the reference exactly (sendEncryption.ts:390-397):
+# ctHandles, userAddress, contractAddress, contractChainId, extraData.
+# contractChainId binds the HOST chain into the struct hash so two
+# deployments sharing a gateway domain cannot replay each other's
+# attestations.
 _CIPHERTEXT_VERIFICATION_TYPEHASH = keccak256(
     b"CiphertextVerification(bytes32[] ctHandles,address userAddress,"
-    b"address contractAddress,bytes extraData)"
+    b"address contractAddress,uint256 contractChainId,bytes extraData)"
 )
 
 DOMAIN_NAME = b"InputVerification"
@@ -61,13 +66,20 @@ def ciphertext_verification_digest(
     extra_data: bytes,
     chain_id: int,
     verifying_contract: str,
+    contract_chain_id: int | None = None,
 ) -> bytes:
-    """Full EIP-712 digest: keccak("\\x19\\x01" || domainSep || structHash)."""
+    """Full EIP-712 digest: keccak("\\x19\\x01" || domainSep || structHash).
+
+    contract_chain_id is the host chain the contract lives on; defaults
+    to the gateway chain_id for single-chain deployments."""
+    if contract_chain_id is None:
+        contract_chain_id = chain_id
     struct_hash = keccak256(
         _CIPHERTEXT_VERIFICATION_TYPEHASH
         + keccak256(b"".join(handles))
         + _addr32(user)
         + _addr32(contract)
+        + contract_chain_id.to_bytes(32, "big")
         + keccak256(extra_data)
     )
     return keccak256(

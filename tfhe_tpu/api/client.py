@@ -38,13 +38,17 @@ class FheClient:
             h["Authorization"] = f"Bearer {self.api_key}"
         return h
 
-    def _request(self, req, idempotent: bool = True):
+    def _request(self, req, idempotent: bool = True, terminal_5xx: bool = False):
         """Bounded retries on transport errors and 5xx (4xx raise
         immediately -- client errors do not heal with retries).
 
         Non-idempotent requests (state-changing POSTs like /evaluate or
         /encrypt) are never retried automatically: a timed-out request may
-        have executed server-side, and a resend would double-execute."""
+        have executed server-side, and a resend would double-execute.
+
+        terminal_5xx: raise the typed error immediately on 5xx instead of
+        retrying -- used by /v2/result polling, where a 5xx echoes a
+        permanently FAILED job, not a transient server fault."""
         last = None
         retries = self.retries if idempotent else 0
         for attempt in range(retries + 1):
@@ -57,7 +61,7 @@ class FheClient:
                     msg = json.loads(e.read()).get("error", "")
                 except Exception:  # noqa: BLE001 -- body may not be JSON
                     pass
-                if e.code < 500:
+                if e.code < 500 or terminal_5xx:
                     raise _typed_error(e.code, msg) from None
                 last = FheClientError(e.code, msg)
             except (urllib.error.URLError, TimeoutError) as e:
@@ -93,7 +97,12 @@ class FheClient:
         re-raise as their typed error class."""
         t0 = time.time()
         while True:
-            r = self._get(f"/v2/result/{request_id}")
+            req = urllib.request.Request(
+                self.base + f"/v2/result/{request_id}", headers=self._headers()
+            )
+            # a failed job replies with ITS error code; that outcome is
+            # permanent, so surface the typed error instead of retrying
+            r = self._request(req, terminal_5xx=True)
             if r.get("status") == "done":
                 return r["result"]
             if time.time() - t0 > deadline:

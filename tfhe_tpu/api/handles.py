@@ -15,6 +15,12 @@ from tfhe_tpu.utils.keccak import keccak256
 
 HANDLE_VERSION = 0
 
+# Index byte sentinel for COMPUTED (op-result) handles, matching the
+# reference byte layout (FhevmHandle.ts:211,255-257: "255 means computed").
+# Input handles carry their 0-based position in the ciphertext list;
+# 255 distinguishes a computed handle from an input at index 0.
+COMPUTED_INDEX = 255
+
 
 @dataclasses.dataclass(frozen=True)
 class FhevmHandle:
@@ -94,8 +100,12 @@ class FhevmHandle:
         enc.append(bytes([type_id & 0xFF, HANDLE_VERSION]))
         h = keccak256(b"".join(enc))
         return FhevmHandle(
-            hash21=h[:21], index=0, chain_id=chain_id, type_id=type_id
+            hash21=h[:21], index=COMPUTED_INDEX, chain_id=chain_id, type_id=type_id
         )
+
+    @property
+    def is_computed(self) -> bool:
+        return self.index == COMPUTED_INDEX
 
     def hex(self) -> str:
         return "0x" + self.to_bytes32().hex()

@@ -412,31 +412,76 @@ class FhevmInstance:
             "big",
         )
 
+    def batch_key(self, op: str, args: list):
+        """Program-signature key under which (op, args) can join a batched
+        fhe_op_many group, or None when it must take the scalar fhe_op
+        path. A non-None key guarantees fhe_op_many accepts the request:
+        handle-first radix operands of one width, rhs an equal-width
+        handle or an int scalar (lifted via _lift_scalar, so >64-bit
+        scalars are fine); select requires ebool cond + two equal-width
+        radix branches. Everything else -- ebool operands, mixed widths,
+        scalar-left, casts, shifts -- is served per-op."""
+        if op == "select" and len(args) == 3:
+            if not all(isinstance(x, bytes) and x in self._store for x in args):
+                return None
+            c, a, b = args
+            if self._store[c][0].name != "ebool":
+                return None
+            (ta, ca), (tb, cb) = self._store[a], self._store[b]
+            if not (
+                isinstance(ca, ri.RadixCiphertext)
+                and isinstance(cb, ri.RadixCiphertext)
+                and ta.name == tb.name
+                and ca.nblocks == cb.nblocks
+            ):
+                return None
+            return (op, ta.name, ca.nblocks)
+        if op not in self.BINARY_OPS and op not in self.CMP_OPS:
+            return None
+        if len(args) != 2:
+            return None
+        ha, hb = args
+        if not (isinstance(ha, bytes) and ha in self._store):
+            return None
+        t, ct = self._store[ha]
+        if not isinstance(ct, ri.RadixCiphertext):
+            return None
+        if isinstance(hb, bytes):
+            entry = self._store.get(hb)
+            if (
+                entry is None
+                or not isinstance(entry[1], ri.RadixCiphertext)
+                or entry[1].nblocks != ct.nblocks
+            ):
+                return None
+        elif not isinstance(hb, int):
+            return None
+        return (op, t.name, ct.nblocks)
+
     def fhe_op_many(self, op: str, pairs: list) -> list:
         """Batched coprocessor execution: one device program for MANY
-        (a, b) handle pairs of the same op/type (the radix layer is
-        natively batched, so this is the production-serving path -- the
-        per-op dispatch floor amortizes across the whole batch; the role
-        of the reference's worker-pool queue, SURVEY.md section 3.4).
+        handle tuples of the same op/type (the radix layer is natively
+        batched, so this is the production-serving path -- the per-op
+        dispatch floor amortizes across the whole batch; the role of the
+        reference's worker-pool queue, SURVEY.md section 3.4).
 
-        pairs: [(handle_a, handle_b_or_scalar), ...] -> result handles.
+        pairs: [(handle_a, handle_b_or_scalar), ...] -> result handles;
+        for op=="select", [(cond, a, b), ...]. Tuples that don't share a
+        batch_key (mixed types/widths, ebool operands, scalar-left) fall
+        back to per-op execution rather than asserting.
         """
-        if op not in self.BINARY_OPS and op not in self.CMP_OPS:
+        keys = {self.batch_key(op, list(p)) for p in pairs}
+        if len(keys) != 1 or None in keys:
             return [self.fhe_op(op, *p) for p in pairs]
+        if op == "select":
+            return self._select_many(pairs)
         ts, acts, bcts = [], [], []
         for ha, hb in pairs:
             t, a = self._get_radix(ha)
             if isinstance(hb, bytes):
                 _, b = self._get_radix(hb)
             else:
-                b = ri.trivial_radix(
-                    self.params,
-                    jnp.asarray(int(hb) % (1 << a.nbits), dtype=U64),
-                    a.nbits,
-                )
-            assert a.nblocks == acts[0].nblocks if acts else True, (
-                "fhe_op_many requires a uniform operand type"
-            )
+                b = self._lift_scalar(int(hb), a.nbits)
             ts.append(t)
             acts.append(a)
             bcts.append(b)
@@ -475,6 +520,45 @@ class FhevmInstance:
                 )
             handles.append(self._put(t, one, op, list(pairs[i][:2])))
         return handles
+
+    def _select_many(self, triples: list) -> list:
+        """Batched FHE.select over [(cond, a, b), ...] triples that share
+        one batch_key: ONE stacked-PBS device program for the whole group
+        (ri.select broadcasts the cond block over the radix blocks, so a
+        leading batch axis rides through unchanged)."""
+        conds = [self._get_bool(c) for c, _, _ in triples]
+        ts = [self._store[a][0] for _, a, _ in triples]
+        acts = [self._get_radix(a)[1] for _, a, _ in triples]
+        bcts = [self._get_radix(b)[1] for _, _, b in triples]
+        batch_c = si.Ciphertext(
+            ct=jnp.stack([c.ct for c in conds]),
+            params=self.params,
+            degree=max(c.degree for c in conds),
+            noise_level=max(c.noise_level for c in conds),
+        )
+
+        def stack(cts):
+            return ri.RadixCiphertext(
+                blocks=jnp.stack([x.blocks for x in cts]),
+                params=self.params,
+                degrees=tuple(
+                    max(x.degrees[i] for x in cts)
+                    for i in range(cts[0].nblocks)
+                ),
+            )
+
+        res = ri.select(self._sk, batch_c, stack(acts), stack(bcts))
+        return [
+            self._put(
+                t,
+                ri.RadixCiphertext(
+                    blocks=res.blocks[i], params=self.params, degrees=res.degrees
+                ),
+                "select",
+                list(triples[i]),
+            )
+            for i, t in enumerate(ts)
+        ]
 
     # -- internals --------------------------------------------------------------
 

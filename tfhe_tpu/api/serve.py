@@ -127,44 +127,74 @@ class FheServer:
         per-op gas costs from the reference's schedule
         (operatorsPrices.json)."""
         if "ops" in body:
-            reqs = [(o["op"], self._parse_args(o["args"])) for o in body["ops"]]
-            # group consecutive same-op binary requests into fhe_op_many
-            # batches (ONE device program per group)
-            out: list = [None] * len(reqs)
-            cost = 0
-            i = 0
-            batched_groups = 0
-            while i < len(reqs):
-                op = reqs[i][0]
-                j = i
-                batchable = op in self.instance.BINARY_OPS or op in self.instance.CMP_OPS
-                while (
-                    batchable and j < len(reqs) and reqs[j][0] == op
-                    and len(reqs[j][1]) == 2
-                ):
-                    j += 1
-                if j - i >= 2:
-                    pairs = [tuple(reqs[k][1]) for k in range(i, j)]
-                    hs = self.instance.fhe_op_many(op, pairs)
-                    for k, h in zip(range(i, j), hs):
-                        out[k] = h
-                        cost += self._op_cost(op, reqs[k][1])
-                    batched_groups += 1
-                    i = j
-                else:
-                    h = self.instance.fhe_op(op, *reqs[i][1])
-                    out[i] = h
-                    cost += self._op_cost(op, reqs[i][1])
-                    i += 1
-            return {
-                "handles": ["0x" + h.hex() for h in out],
-                "gasUsed": cost,
-                "batchedGroups": batched_groups,
-            }
+            return self._evaluate_many(body["ops"])
         op = body["op"]
         args = self._parse_args(body["args"])
         h = self.instance.fhe_op(op, *args)
         return {"handle": "0x" + h.hex(), "gasUsed": self._op_cost(op, args)}
+
+    def _evaluate_many(self, ops_body: list):
+        """Mixed-op batched execution: interleaved traffic (the realistic
+        ERC20 pattern: sub+add+select+le in one list) is bucketed by the
+        instance's batch_key -- (op, operand type, width) -- NOT by
+        adjacency, so a 50-op mixed list shares a handful of device
+        programs instead of paying one dispatch floor per op (the
+        PbsDispatcher group-pad-execute economics at the HTTP boundary).
+
+        Ops may reference result handles of EARLIER ops in the same list
+        (deterministic handle derivation makes them client-predictable):
+        execution proceeds in dependency waves -- each wave runs every
+        op whose operands already exist, batched per bucket."""
+        inst = self.instance
+        reqs = [(o["op"], self._parse_args(o["args"])) for o in ops_body]
+        out: list = [None] * len(reqs)
+        cost = 0
+        batched_groups = 0
+        single_ops = 0
+        done = [False] * len(reqs)
+        while not all(done):
+            wave = [
+                i
+                for i, (op, args) in enumerate(reqs)
+                if not done[i]
+                and all(
+                    not isinstance(a, bytes) or a in inst._store for a in args
+                )
+            ]
+            if not wave:
+                raise ApiError(400, "op list references unknown handles")
+            buckets: dict[tuple, list[int]] = {}
+            singles: list[int] = []
+            for i in wave:
+                op, args = reqs[i]
+                key = inst.batch_key(op, args)
+                if key is None:
+                    singles.append(i)
+                else:
+                    buckets.setdefault(key, []).append(i)
+            for key, idxs in buckets.items():
+                if len(idxs) == 1:
+                    singles.extend(idxs)
+                    continue
+                op = reqs[idxs[0]][0]
+                hs = inst.fhe_op_many(op, [tuple(reqs[k][1]) for k in idxs])
+                for k, h in zip(idxs, hs):
+                    out[k] = h
+                    done[k] = True
+                    cost += self._op_cost(op, reqs[k][1])
+                batched_groups += 1
+            for i in singles:
+                op, args = reqs[i]
+                out[i] = inst.fhe_op(op, *args)
+                done[i] = True
+                cost += self._op_cost(op, args)
+                single_ops += 1
+        return {
+            "handles": ["0x" + h.hex() for h in out],
+            "gasUsed": cost,
+            "batchedGroups": batched_groups,
+            "singleOps": single_ops,
+        }
 
     def decrypt(self, body):
         h = bytes.fromhex(body["handle"][2:])

@@ -54,6 +54,13 @@ class ShamirShare:
     threshold: int
     share: list  # (n,) ints mod P127
     sign_priv: int
+    # Secret per-party PRF key for smudging noise. The flooding noise
+    # e_i MUST be unpredictable to observers: if e_i were derived from
+    # public values (nonce, party index), anyone could recompute it and
+    # recover the exact inner product <a, s_i> from each signed partial,
+    # linearly extracting key shares across requests. flood_key is dealt
+    # with the share itself and never leaves the party.
+    flood_key: bytes = b""
 
     @property
     def x(self) -> int:
@@ -106,6 +113,9 @@ def share_secret_key(
             threshold=threshold,
             share=shares[i],
             sign_priv=ec.keygen(b"kms-party" + seed + bytes([i])),
+            # Secret, like the share: derived from the dealer seed (which
+            # already determines the key shares), never from public data.
+            flood_key=keccak256(b"flood-key" + seed + bytes([i])),
         )
         for i in range(n_parties)
     ]
@@ -130,13 +140,17 @@ def partial_decrypt(
     acc = 0
     for aj, sj in zip(a, share.share):
         acc += int(aj) * sj
-    fl_rng = np.random.default_rng(
-        int.from_bytes(
-            keccak256(b"flood" + nonce + bytes([share.party])), "big"
-        )
-        % (1 << 63)
-    )
-    e = int.from_bytes(fl_rng.bytes(16), "big") % (1 << (flood_bits + 1))
+    # PRF(secret flood_key, nonce || ct-digest): unpredictable to anyone
+    # who doesn't hold the party's key material. Falls back to fresh OS
+    # randomness if a share was constructed without a flood_key.
+    ct_digest = keccak256(np.asarray(ct, dtype=np.uint64).tobytes())
+    if share.flood_key:
+        stream = keccak256(b"flood" + share.flood_key + nonce + ct_digest)
+    else:
+        import os
+
+        stream = os.urandom(32)
+    e = int.from_bytes(stream[:16], "big") % (1 << (flood_bits + 1))
     e -= 1 << flood_bits  # centered
     d = (acc + e) % P127
     mask_digest = keccak256(np.asarray(ct, dtype=np.uint64).tobytes() + nonce)
