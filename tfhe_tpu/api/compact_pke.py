@@ -133,15 +133,15 @@ def gen_compact_pke_keys(
     )
 
 
-def compact_pke_encrypt(
+def compact_pke_encrypt_with_witness(
     keys: CompactPkeKeySet, block_values, rng: FheRng
-) -> CompactCiphertextList:
-    """block_values: (V,) shortint block values -> ceil(V / N_pke) GLWEs.
-
-    Client-side: needs only the public key."""
+) -> tuple[CompactCiphertextList, jax.Array, jax.Array]:
+    """Like `compact_pke_encrypt`, also returning the encryption witness
+    (r, e) the ZK proof of plaintext knowledge needs (api/zkpok.py --
+    reference builds the proof inside build_with_proof_packed,
+    encrypt.ts:185-189)."""
     pke = keys.params
     n = pke.polynomial_size
-    engine = _engine(n)
     vals = jnp.asarray(block_values, dtype=U64)
     v = vals.shape[0]
     n_lists = -(-v // n)
@@ -153,7 +153,17 @@ def compact_pke_encrypt(
     ct = jnp.einsum("lm,mkn->lkn", r, keys.pke_pk)
     e = rng.noise(pke.noise, (n_lists, n))
     ct = ct.at[:, -1, :].add(pt + e)
-    return CompactCiphertextList(glwes=ct, params=pke, n_values=v)
+    return CompactCiphertextList(glwes=ct, params=pke, n_values=v), r, e
+
+
+def compact_pke_encrypt(
+    keys: CompactPkeKeySet, block_values, rng: FheRng
+) -> CompactCiphertextList:
+    """block_values: (V,) shortint block values -> ceil(V / N_pke) GLWEs.
+
+    Client-side: needs only the public key."""
+    lst, _, _ = compact_pke_encrypt_with_witness(keys, block_values, rng)
+    return lst
 
 
 def expand(

@@ -242,21 +242,67 @@ class FheServer:
 
     def input_proof(self, body):
         """Coprocessor signing endpoint (reference fetchPostInputProof,
-        sendEncryption.ts:340): handles must be registered, then each
-        quorum signer returns its EIP-712 CiphertextVerification
-        signature and the assembled inputProof."""
-        handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
-        if not all(h in self.instance._store for h in handles):
-            raise ApiError(404, "unknown handle in proof request")
+        sendEncryption.ts:340). Two forms, both fail-closed:
+
+        - Full submission: {ciphertext, zkProof, types, contract, user}
+          -- the ZK proof of plaintext knowledge is VERIFIED first
+          (403 on failure, nothing registered or signed; reference: the
+          coprocessor verifies build_with_proof_packed's proof before
+          signing, encrypt.ts:185-189), then the list is expanded and the
+          quorum signs the derived handles.
+        - Legacy handle form: the quorum signs only handles whose
+          provenance is a verified input or a server-side encryption --
+          never an unproven registration."""
+        inst = self.instance
         user = body.get("user", "0x" + "00" * 20)
         contract = body.get("contract", "0x" + "00" * 20)
-        sigs = self.instance.coprocessor.sign_handles(
-            handles, user, contract, b"\x00", self.instance.chain_id
-        )
-        proof = attestation.assemble_input_proof(handles, sigs, b"\x00")
+        if "ciphertext" in body:
+            from tfhe_tpu.api import zkpok
+            from tfhe_tpu.api.types import FHE_TYPES as _T
+            from tfhe_tpu.models import integer as _ri
+
+            try:
+                lst = serialization.deserialize(
+                    bytes.fromhex(body["ciphertext"].removeprefix("0x"))
+                )
+                proof = zkpok.CompactPkeProof.from_bytes(
+                    bytes.fromhex(body["zkProof"].removeprefix("0x"))
+                )
+            except (ValueError, KeyError, zkpok.ZkProofError) as e:
+                raise ApiError(400, f"malformed input submission: {e}")
+            spans = []
+            for tname in body["types"]:
+                if tname not in _T:
+                    raise ApiError(400, f"unknown type {tname}")
+                t = _T[tname]
+                nb = 1 if tname == "ebool" else _ri.blocks_for_bits(
+                    inst.params, t.bits
+                )
+                spans.append((t, nb))
+            try:
+                handles, sigs = inst.verify_and_register_input(
+                    lst, proof, spans, contract, user
+                )
+            except zkpok.ZkProofError as e:
+                raise ApiError(403, f"ZK proof rejected: {e}")
+        else:
+            handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
+            if not all(h in inst._store for h in handles):
+                raise ApiError(404, "unknown handle in proof request")
+            if not all(
+                inst._provenance.get(h) in ("input", "server") for h in handles
+            ):
+                raise ApiError(
+                    403, "handle without a verified plaintext-knowledge proof"
+                )
+            sigs = inst.coprocessor.sign_handles(
+                handles, user, contract, b"\x00", inst.chain_id
+            )
+        proof_bytes = attestation.assemble_input_proof(handles, sigs, b"\x00")
         signers, threshold = self.instance.get_coprocessor_signers()
         return {
-            "inputProof": proof.hex(),
+            "handles": ["0x" + h.hex() for h in handles],
+            "inputProof": proof_bytes.hex(),
             "signatures": [s.hex() for s in sigs],
             "signers": signers,
             "threshold": threshold,

@@ -1,0 +1,362 @@
+"""Zero-knowledge proof of plaintext knowledge for compact-PKE inputs.
+
+Role of the reference's CPKE zero-knowledge proof: the client proves it
+KNOWS the plaintext and encryption randomness of the CompactCiphertextList
+it submits, bound to auxData = contract || user || acl || chainId, and the
+coprocessor verifies the proof BEFORE its quorum signs the input handles
+(reference: sdk/relayer/src/sdk/encrypt.ts:174-189
+`builder.build_with_proof_packed(crs, auxData, ZkComputeLoad.Verify)`;
+CRS sized for 2048 bits at sdk/relayer/src/tfhe.ts:24-26; WASM surface
+`CompactPkeCrs` at sdk/relayer/src/tfheType.ts:14-23). Without this proof
+an attacker can replay or maul someone else's ciphertext into a contract
+and use the contract's decryption policy as an oracle.
+
+Construction (from scratch, TPU-framework native -- the host-side part of
+the input pipeline):
+
+A Fiat-Shamir Sigma-protocol with binary challenges and rejection-sampled
+uniform masks, proving knowledge of (r, m, e) such that for every GLWE in
+the list (tfhe_tpu/api/compact_pke.py construction):
+
+    ct_mask = r . PK_mask                          (mod 2^64)
+    ct_body = r . PK_body + Delta * m + e          (mod 2^64)
+
+with r the binary public-key combination vector, m the plaintext block
+values (< message_modulus), and e the TUniform(b) encryption noise.
+
+Protocol (R = 128 repetitions):
+  witness  w = (r, m, e + 2^b)        -- shifted so every entry is >= 0
+  masks    y_j ~ U[0, B_j)            -- per-component bound B_j
+  commit   t_i = A . y_i              -- A is the linear map above
+  chall    c = H(tag, crs, pk, ct, auxData, t_1..t_R)  in {0,1}^R
+  resp     z_i = y_i + c_i * w        -- over the integers (< 2^63, no wrap)
+  reject+retry unless every z in [w_max, B)  (Lyubashevsky-style aborts;
+           the abort probability is w_max/B per coefficient, INDEPENDENT
+           of the witness value, and accepted z are uniform on [w_max, B))
+  proof    = (c, z_1..z_R); verifier recomputes t_i = A.z_i - c_i*s and
+           checks the hash and the bounds  (s = (ct_mask, ct_body + 2^b)).
+
+Security statement (documented honestly -- see DELTA below):
+- Completeness: exact (restart on the rare abort).
+- Soundness 2^-128: binary challenges give special soundness; rewinding
+  two accepting transcripts differing at repetition i extracts
+  w' = z_i - z'_i with A.w' = s (mod 2^64) EXACTLY, and RELAXED bounds
+  |r'| < B_r, |m'| < B_m, |e'| < B_e (the standard "slack" of
+  lattice Sigma-protocols). Producing such a short preimage for a
+  ciphertext you did not encrypt yourself is an inhomogeneous-SIS-style
+  problem over Z_2^64 at norm B_e << q; plaintext extraction therefore
+  holds computationally.
+- Zero-knowledge: perfect HVZK -- accepted responses are uniform on
+  [w_max, B) independent of the witness, commitments are determined by
+  (z, c, s); the simulator samples z first. Non-interactive via
+  Fiat-Shamir in the random-oracle model (keccak256), with the CRS hash,
+  public-key digest, ciphertext and auxData all bound into the challenge.
+
+DELTA vs the reference: tfhe-rs' CPKE proof (pke_v2) is pairing-based and
+EXACT (no slack) with constant-size proofs; this proof is transparent
+(no trusted setup -- the "CRS" here pins parameters/bounds and a domain
+separator), has slack factor 2^STAT_LOG on the extracted norms, and is
+~3 MB at production parameters. The slack means range soundness is
+"m < B_m" rather than "m < message_modulus": a dishonest prover can
+encode an over-range block up to the slack bound. Downstream this is
+equivalent to submitting a noisy/garbage input the prover KNOWS -- the
+plaintext-knowledge property (no ciphertext stealing) is what the fhevm
+threat model needs and is preserved. PARITY.md tracks this delta.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import secrets
+
+import numpy as np
+
+from tfhe_tpu.api.compact_pke import CompactCiphertextList, PkeParams
+from tfhe_tpu.params import ShortintParams
+from tfhe_tpu.utils.keccak import keccak256
+
+_TAG = b"tfhe_tpu/zkpok/cpke/v1"
+REPS = 128  # binary challenges -> 2^-128 soundness error
+STAT_LOG = 20  # rejection-window slack log2 (abort ~2^-20 per coefficient)
+_MAX_ATTEMPTS = 64
+
+
+class ZkProofError(Exception):
+    """Verification failure -- callers must fail closed."""
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactPkeCrs:
+    """Public parameters binding the proof system to one PKE parameter
+    set and input-size budget (role of the reference's `CompactPkeCrs`,
+    tfhe.ts:24-26 `CompactPkeCrs.from_config(config, 4*512)`).
+
+    Transparent: there is no trapdoor material, only the parameter
+    digest, the size budget and the norm bounds -- hashed into every
+    Fiat-Shamir challenge so proofs are non-transferable across CRS."""
+
+    pke_params_name: str
+    max_num_bits: int
+    message_modulus: int
+    delta: int
+    noise_bound_log2: int  # TUniform b of the PKE noise
+    reps: int
+    b_r_log2: int  # mask bound for the binary r components
+    b_m_log2: int  # mask bound for the message components
+    b_e_log2: int  # mask bound for the shifted-noise components
+
+    @classmethod
+    def from_params(
+        cls,
+        pke: PkeParams,
+        compute: ShortintParams,
+        max_num_bits: int = 2048,
+    ) -> "CompactPkeCrs":
+        if pke.noise.kind != "tuniform":
+            raise ValueError("CPKE proof requires TUniform PKE noise")
+        b = pke.noise.bound_log2
+        return cls(
+            pke_params_name=pke.name,
+            max_num_bits=max_num_bits,
+            message_modulus=int(compute.message_modulus),
+            delta=int(compute.delta),
+            noise_bound_log2=b,
+            reps=REPS,
+            b_r_log2=STAT_LOG,  # w_max = 1
+            b_m_log2=STAT_LOG + max(int(compute.message_modulus).bit_length(), 1),
+            # w_max = 2^(b+1); cap so z stays < 2^63 (no wrap in y + c*w)
+            b_e_log2=min(b + 1 + STAT_LOG, 62),
+        )
+
+    @property
+    def hash(self) -> bytes:
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
+        return keccak256(_TAG + payload)
+
+
+@dataclasses.dataclass
+class CompactPkeProof:
+    """(c, z) transcript; commitments are recomputed by the verifier."""
+
+    challenge: bytes  # reps/8 bytes of challenge bits
+    z_r: np.ndarray  # (reps, L, M) u64
+    z_m: np.ndarray  # (reps, L, N) u64
+    z_e: np.ndarray  # (reps, L, N) u64
+
+    def to_bytes(self) -> bytes:
+        header = json.dumps(
+            {
+                "c": self.challenge.hex(),
+                "shapes": [list(self.z_r.shape), list(self.z_m.shape), list(self.z_e.shape)],
+            }
+        ).encode()
+        return (
+            len(header).to_bytes(4, "big")
+            + header
+            + self.z_r.tobytes()
+            + self.z_m.tobytes()
+            + self.z_e.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CompactPkeProof":
+        hlen = int.from_bytes(data[:4], "big")
+        header = json.loads(data[4 : 4 + hlen])
+        shapes = [tuple(s) for s in header["shapes"]]
+        off = 4 + hlen
+        arrays = []
+        for shape in shapes:
+            n = int(np.prod(shape)) * 8
+            arrays.append(
+                np.frombuffer(data[off : off + n], dtype=np.uint64).reshape(shape)
+            )
+            off += n
+        if off != len(data):
+            raise ZkProofError("trailing bytes in proof")
+        return cls(bytes.fromhex(header["c"]), *arrays)
+
+
+def _pk_planes(pke_pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(M, k+1, N) u64 public key -> flattened mask (M, k*N) and body
+    (M, N) planes for the linear map."""
+    pk = np.asarray(pke_pk, dtype=np.uint64)
+    m = pk.shape[0]
+    mask = pk[:, :-1, :].reshape(m, -1)
+    body = pk[:, -1, :]
+    return mask, body
+
+
+def _apply_map(
+    crs: CompactPkeCrs,
+    pk_mask: np.ndarray,
+    pk_body: np.ndarray,
+    vr: np.ndarray,
+    vm: np.ndarray,
+    ve: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """A.(vr, vm, ve) for a stack of vectors: vr (..., M) -> mask
+    (..., k*N) and body (..., N) images, all wrapping mod 2^64."""
+    with np.errstate(over="ignore"):
+        t_mask = vr @ pk_mask
+        t_body = vr @ pk_body + np.uint64(crs.delta) * vm + ve
+    return t_mask, t_body
+
+
+def _statement(
+    crs: CompactPkeCrs, lst: CompactCiphertextList
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-list statement vectors (s_mask, s_body) with the noise shift
+    folded in: s_body = ct_body + 2^b (so A.w = s for the shifted witness)."""
+    ct = np.asarray(lst.glwes, dtype=np.uint64)  # (L, k+1, N)
+    s_mask = ct[:, :-1, :].reshape(ct.shape[0], -1)
+    with np.errstate(over="ignore"):
+        s_body = ct[:, -1, :] + np.uint64(2**crs.noise_bound_log2)
+    return s_mask, s_body
+
+
+def _transcript_hash(
+    crs: CompactPkeCrs,
+    pk_digest: bytes,
+    lst: CompactCiphertextList,
+    aux_data: bytes,
+    t_mask: np.ndarray,
+    t_body: np.ndarray,
+) -> bytes:
+    ct = np.ascontiguousarray(np.asarray(lst.glwes, dtype=np.uint64))
+    h = keccak256(
+        _TAG
+        + crs.hash
+        + pk_digest
+        + len(aux_data).to_bytes(4, "big")
+        + aux_data
+        + lst.n_values.to_bytes(4, "big")
+        + keccak256(ct.tobytes())
+        + keccak256(np.ascontiguousarray(t_mask).tobytes())
+        + keccak256(np.ascontiguousarray(t_body).tobytes())
+    )
+    return h[: REPS // 8]
+
+
+def pk_digest(pke_pk) -> bytes:
+    return keccak256(
+        np.ascontiguousarray(np.asarray(pke_pk, dtype=np.uint64)).tobytes()
+    )
+
+
+def _bounds(crs: CompactPkeCrs) -> list[tuple[int, int]]:
+    """[(w_max, B)] for (r, m, e')."""
+    return [
+        (1, 1 << crs.b_r_log2),
+        (crs.message_modulus - 1, 1 << crs.b_m_log2),
+        (1 << (crs.noise_bound_log2 + 1), 1 << crs.b_e_log2),
+    ]
+
+
+def prove(
+    crs: CompactPkeCrs,
+    pke_pk,
+    lst: CompactCiphertextList,
+    r,
+    msg_blocks,
+    e,
+    aux_data: bytes,
+    seed: int | None = None,
+) -> CompactPkeProof:
+    """Prove knowledge of the encryption witness of `lst`.
+
+    r: (L, M) binary combination vectors; msg_blocks: (V,) block values
+    (< message_modulus -- the prover REFUSES out-of-range plaintexts);
+    e: (L, N) TUniform noise as sampled (u64 two's complement). aux_data
+    binds contract || user || acl || chainId exactly as the reference's
+    auxData (encrypt.ts:174-184)."""
+    pk_mask, pk_body = _pk_planes(pke_pk)
+    n = pk_body.shape[1]
+    w_r = np.asarray(r, dtype=np.uint64)
+    ell = w_r.shape[0]
+    vals = np.asarray(msg_blocks, dtype=np.uint64).ravel()
+    if vals.size != lst.n_values:
+        raise ValueError("msg_blocks length != list n_values")
+    if np.any(vals >= crs.message_modulus):
+        raise ValueError("plaintext block out of range for the message modulus")
+    if vals.size * int(np.log2(crs.message_modulus)) > crs.max_num_bits:
+        raise ValueError("input exceeds the CRS bit budget")
+    w_m = np.zeros((ell, n), dtype=np.uint64)
+    w_m.reshape(-1)[: vals.size] = vals
+    shift = np.uint64(1 << crs.noise_bound_log2)
+    with np.errstate(over="ignore"):
+        w_e = np.asarray(e, dtype=np.uint64) + shift  # e' in [0, 2^(b+1)]
+    if np.any(w_e > np.uint64(1 << (crs.noise_bound_log2 + 1))):
+        raise ValueError("noise outside the TUniform bound")
+    digest = pk_digest(pke_pk)
+    bounds = _bounds(crs)
+    rng = np.random.default_rng(
+        seed if seed is not None else secrets.randbits(128)
+    )
+    for _ in range(_MAX_ATTEMPTS):
+        y_r = rng.integers(0, bounds[0][1], size=(REPS, ell, w_r.shape[1]), dtype=np.uint64)
+        y_m = rng.integers(0, bounds[1][1], size=(REPS, ell, n), dtype=np.uint64)
+        y_e = rng.integers(0, bounds[2][1], size=(REPS, ell, n), dtype=np.uint64)
+        t_mask, t_body = _apply_map(crs, pk_mask, pk_body, y_r, y_m, y_e)
+        c_bytes = _transcript_hash(crs, digest, lst, aux_data, t_mask, t_body)
+        c = np.unpackbits(np.frombuffer(c_bytes, dtype=np.uint8))[:REPS]
+        c = c.astype(np.uint64)[:, None, None]
+        # z = y + c*w over the integers: every term < 2^63, no wrap
+        z_r = y_r + c * w_r[None]
+        z_m = y_m + c * w_m[None]
+        z_e = y_e + c * w_e[None]
+        ok = True
+        for z, (w_max, b) in zip((z_r, z_m, z_e), bounds):
+            if np.any(z < np.uint64(w_max)) or np.any(z >= np.uint64(b)):
+                ok = False
+                break
+        if ok:
+            return CompactPkeProof(challenge=c_bytes, z_r=z_r, z_m=z_m, z_e=z_e)
+    raise RuntimeError("rejection sampling failed to converge")
+
+
+def verify(
+    crs: CompactPkeCrs,
+    pke_pk,
+    lst: CompactCiphertextList,
+    proof: CompactPkeProof,
+    aux_data: bytes,
+) -> None:
+    """Raise ZkProofError unless `proof` verifies for (lst, aux_data).
+
+    Checks, fail-closed: response shapes, response bounds, and the
+    Fiat-Shamir hash over the RECOMPUTED commitments
+    t_i = A.z_i - c_i * s (mod 2^64)."""
+    pk_mask, pk_body = _pk_planes(pke_pk)
+    n = pk_body.shape[1]
+    ell = np.asarray(lst.glwes).shape[0]
+    m_rows = pk_mask.shape[0]
+    if (
+        proof.z_r.shape != (REPS, ell, m_rows)
+        or proof.z_m.shape != (REPS, ell, n)
+        or proof.z_e.shape != (REPS, ell, n)
+    ):
+        raise ZkProofError("malformed proof shapes")
+    if len(proof.challenge) != REPS // 8:
+        raise ZkProofError("malformed challenge")
+    if lst.n_values > ell * n or lst.n_values <= 0:
+        raise ZkProofError("ciphertext list value count out of range")
+    if lst.n_values * int(np.log2(crs.message_modulus)) > crs.max_num_bits:
+        raise ZkProofError("input exceeds the CRS bit budget")
+    for z, (_, b) in zip((proof.z_r, proof.z_m, proof.z_e), _bounds(crs)):
+        if np.any(z >= np.uint64(b)):
+            raise ZkProofError("response out of bounds")
+    s_mask, s_body = _statement(crs, lst)
+    c = np.unpackbits(np.frombuffer(proof.challenge, dtype=np.uint8))[:REPS]
+    c = c.astype(np.uint64)[:, None, None]
+    z_mask, z_body = _apply_map(
+        crs, pk_mask, pk_body, proof.z_r, proof.z_m, proof.z_e
+    )
+    with np.errstate(over="ignore"):
+        t_mask = z_mask - c * s_mask[None]
+        t_body = z_body - c * s_body[None]
+    expect = _transcript_hash(
+        crs, pk_digest(pke_pk), lst, aux_data, t_mask, t_body
+    )
+    if not secrets.compare_digest(expect, proof.challenge):
+        raise ZkProofError("challenge mismatch (wrong statement, auxData or CRS)")
