@@ -91,13 +91,217 @@ def test_error_paths(client):
 
 
 def test_user_decrypt_flow(client):
-    user = "0x" + "aa" * 20
+    """Full KMS protocol: EIP-712-signed request, sealed t-of-n shares,
+    client-side combine -- and NO plaintext anywhere in the HTTP
+    response (VERDICT round-2 weak #4)."""
+    import json as _json
+
+    from tfhe_tpu.api import secp256k1 as ec
+
+    priv = ec.keygen(b"serve-user-1")
+    user = ec.address(priv)
     contract = "0x" + "bb" * 20
     h = client.encrypt(123, "euint8", user=user, contract=contract)["handle"]
-    r = client.user_decrypt([(h, contract)], user)
-    assert r["values"] == ["123"]
+    vals = client.user_decrypt([(h, contract)], priv)
+    assert vals == [123]
+    # the raw response must not contain the plaintext in any encoding
+    raw = client._post(
+        "/user-decrypt",
+        _raw_user_decrypt_body(client, [(h, contract)], priv),
+    )
+    blob = _json.dumps(raw)
+    assert '"123"' not in blob and ": 123" not in blob
+    assert all("123" != p.get("value") for p in raw.get("partials", []))
+    # an unauthorized EOA (no ACL grant) is refused
+    other = ec.keygen(b"serve-user-2")
     with pytest.raises(FheClientError) as e:
-        client.user_decrypt([(h, contract)], "0x" + "cc" * 20)
+        client.user_decrypt([(h, contract)], other)
+    assert e.value.code == 403
+
+
+def _raw_user_decrypt_body(client, pairs, priv):
+    """Build a valid signed request body (for response-inspection tests)."""
+    import time as _time
+
+    from tfhe_tpu.api import kms, mlkem, secp256k1 as ec
+
+    info = client.kms_info()
+    ek, _dk = mlkem.keygen()
+    contracts = sorted({c for _, c in pairs})
+    start = int(_time.time()) - 60
+    digest = kms.user_decrypt_request_digest(
+        ek, contracts, info["chainId"], start, 1, info["verifyingContract"]
+    )
+    return {
+        "handleContractPairs": [
+            {"handle": h, "contractAddress": c} for h, c in pairs
+        ],
+        "userAddress": ec.address(priv),
+        "publicKey": ek.hex(),
+        "signature": ec.sign(priv, digest).hex(),
+        "contractAddresses": contracts,
+        "startTimestamp": start,
+        "durationDays": 1,
+    }
+
+
+def test_user_decrypt_rejects_bad_signature(client):
+    """A request whose EIP-712 signature does not recover to the claimed
+    user is 403 -- even if the ACL would allow that user."""
+    from tfhe_tpu.api import secp256k1 as ec
+
+    priv = ec.keygen(b"serve-user-3")
+    user = ec.address(priv)
+    contract = "0x" + "bd" * 20
+    h = client.encrypt(9, "euint8", user=user, contract=contract)["handle"]
+    body = _raw_user_decrypt_body(client, [(h, contract)], priv)
+    body["signature"] = body["signature"][:-2] + (
+        "00" if body["signature"][-2:] != "00" else "01"
+    )
+    with pytest.raises(FheClientError) as e:
+        client._post("/user-decrypt", body)
+    assert e.value.code == 403
+
+
+def test_user_decrypt_rejects_unlisted_contract(client):
+    """The signed contractAddresses list gates which contracts the
+    authorization covers (keypair.ts:84-103 binds it into the struct)."""
+    from tfhe_tpu.api import secp256k1 as ec
+
+    priv = ec.keygen(b"serve-user-4")
+    user = ec.address(priv)
+    contract = "0x" + "be" * 20
+    h = client.encrypt(9, "euint8", user=user, contract=contract)["handle"]
+    body = _raw_user_decrypt_body(client, [(h, contract)], priv)
+    body["contractAddresses"] = ["0x" + "ff" * 20]
+    with pytest.raises(FheClientError) as e:
+        client._post("/user-decrypt", body)
+    assert e.value.code == 403
+
+
+def test_user_decrypt_expired_window(client):
+    from tfhe_tpu.api import secp256k1 as ec
+
+    priv = ec.keygen(b"serve-user-5")
+    user = ec.address(priv)
+    contract = "0x" + "bf" * 20
+    h = client.encrypt(9, "euint8", user=user, contract=contract)["handle"]
+    with pytest.raises(FheClientError) as e:
+        client.user_decrypt(
+            [(h, contract)], priv, duration_days=1, start_timestamp=1000
+        )
+    assert e.value.code == 403
+
+
+def test_user_decrypt_tolerates_corrupt_minority(client):
+    """t-of-n resilience end-to-end: one corrupted sealed envelope still
+    leaves >= threshold valid parties; the client combines fine. A
+    corrupted MAJORITY fails closed client-side."""
+    from tfhe_tpu.api import kms, secp256k1 as ec
+
+    priv = ec.keygen(b"serve-user-6")
+    user = ec.address(priv)
+    contract = "0x" + "c0" * 20
+    h = client.encrypt(77, "euint8", user=user, contract=contract)["handle"]
+
+    import numpy as np
+
+    from tfhe_tpu.api import mlkem
+    import time as _time
+
+    info = client.kms_info()
+    ek, dk = mlkem.keygen()
+    start = int(_time.time()) - 60
+    digest = kms.user_decrypt_request_digest(
+        ek, [contract], info["chainId"], start, 1, info["verifyingContract"]
+    )
+    body = {
+        "handleContractPairs": [{"handle": h, "contractAddress": contract}],
+        "userAddress": user,
+        "publicKey": ek.hex(),
+        "signature": ec.sign(priv, digest).hex(),
+        "contractAddresses": [contract],
+        "startTimestamp": start,
+        "durationDays": 1,
+    }
+    resp = client._post("/user-decrypt", body)
+    items = [
+        {
+            "handle": bytes.fromhex(i["handle"][2:]),
+            "blocks": np.frombuffer(
+                bytes.fromhex(i["blocks"]), dtype=np.uint64
+            ).reshape(i["shape"]),
+            "type": i["type"],
+            "bits": i["bits"],
+        }
+        for i in resp["items"]
+    ]
+
+    def combine(envelopes):
+        return kms.process_user_decrypt_response(
+            envelopes, dk, items, resp["kmsSigners"], resp["threshold"],
+            info["delta"], info["plaintextModulus"],
+            bytes.fromhex(resp["nonce"]), info["bitsPerBlock"],
+        )
+
+    # corrupt one envelope: still >= 3-of-4 valid
+    one_bad = [dict(e) for e in resp["responses"]]
+    one_bad[0]["sealedShares"] = "00" * 32 + one_bad[0]["sealedShares"][64:]
+    assert combine(one_bad) == [77]
+    # corrupt two: below threshold, fail closed
+    two_bad = [dict(e) for e in resp["responses"]]
+    for k in (0, 1):
+        two_bad[k]["sealedShares"] = "00" * 32 + two_bad[k]["sealedShares"][64:]
+    from tfhe_tpu.api.shamir import ThresholdError
+
+    with pytest.raises(ThresholdError):
+        combine(two_bad)
+
+
+def test_public_decrypt_carries_kms_signatures(client):
+    """public-decrypt responses are KMS-signed and client-verifiable
+    (publicDecrypt.ts:23-47,132-146)."""
+    h = client.encrypt(55, "euint8")["handle"]
+    client.allow(h)
+    resp = client.public_decrypt_verified([h])
+    assert resp["values"][h] == "55"
+    # tampering with the result must break verification
+    from tfhe_tpu.api import kms
+
+    info = client.kms_info()
+    with pytest.raises(kms.KmsRequestError):
+        kms.verify_public_decrypt(
+            [bytes.fromhex(h[2:])],
+            (56).to_bytes(32, "big"),
+            bytes.fromhex(resp["decryptionProof"]),
+            info["kmsSigners"],
+            info["threshold"],
+            info["chainId"],
+            info["verifyingContract"],
+        )
+
+
+def test_user_decrypt_delegated_variant(client):
+    """Delegated user-decrypt (keypair.ts:105-133): the DELEGATOR signs
+    the delegated struct naming the delegate; the delegator's ACL rights
+    apply."""
+    from tfhe_tpu.api import secp256k1 as ec
+
+    delegator_priv = ec.keygen(b"serve-delegator")
+    delegator = ec.address(delegator_priv)
+    delegate = "0x" + "d1" * 20
+    contract = "0x" + "c2" * 20
+    h = client.encrypt(31, "euint8", user=delegator, contract=contract)["handle"]
+    vals = client.user_decrypt(
+        [(h, contract)], delegator_priv, delegated_account=delegate
+    )
+    assert vals == [31]
+    # the plain (non-delegated) struct signed by the delegator must NOT
+    # validate as a delegated request for a different account
+    with pytest.raises(FheClientError) as e:
+        body = _raw_user_decrypt_body(client, [(h, contract)], delegator_priv)
+        body["delegatedAccount"] = delegate  # sig was over the plain struct
+        client._post("/user-decrypt", body)
     assert e.value.code == 403
 
 

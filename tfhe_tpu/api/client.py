@@ -182,16 +182,106 @@ class FheClient:
     def public_decrypt(self, handles: list):
         return self._post("/public-decrypt", {"handles": handles}, idempotent=True)
 
-    def user_decrypt(self, pairs: list, user: str):
-        return self._post(
+    def kms_info(self):
+        return self._get("/kms-info")
+
+    def user_decrypt(
+        self,
+        pairs: list,
+        user_priv: int,
+        duration_days: int = 1,
+        delegated_account: str | None = None,
+        start_timestamp: int | None = None,
+    ) -> list[int]:
+        """Full KMS user-decrypt protocol, client side (reference
+        userDecrypt.ts:99-260 + keypair.ts:84-144): generate a fresh
+        ML-KEM keypair, EIP-712-sign the request with the user's EOA key
+        (`user_priv`; for the delegated variant the DELEGATOR's key signs
+        and `delegated_account` names the requester), POST, then unseal /
+        verify / Lagrange-combine the t-of-n signed shares LOCALLY. The
+        server never sees or sends a plaintext."""
+        import time as _time
+
+        import numpy as np
+
+        from tfhe_tpu.api import kms, mlkem, secp256k1 as ec
+
+        info = self.kms_info()
+        ek, dk = mlkem.keygen()
+        contracts = sorted({c for _, c in pairs})
+        start = (
+            int(_time.time()) - 60 if start_timestamp is None else start_timestamp
+        )
+        digest = kms.user_decrypt_request_digest(
+            ek,
+            contracts,
+            info["chainId"],
+            start,
+            duration_days,
+            info["verifyingContract"],
+            delegated_account=delegated_account,
+        )
+        sig = ec.sign(user_priv, digest)
+        resp = self._post(
             "/user-decrypt",
             {
                 "handleContractPairs": [
                     {"handle": h, "contractAddress": c} for h, c in pairs
                 ],
-                "userAddress": user,
+                "userAddress": ec.address(user_priv),
+                "publicKey": ek.hex(),
+                "signature": sig.hex(),
+                "contractAddresses": contracts,
+                "startTimestamp": start,
+                "durationDays": duration_days,
+                **(
+                    {"delegatedAccount": delegated_account}
+                    if delegated_account
+                    else {}
+                ),
             },
         )
+        items = [
+            {
+                "handle": bytes.fromhex(i["handle"][2:]),
+                "blocks": np.frombuffer(
+                    bytes.fromhex(i["blocks"]), dtype=np.uint64
+                ).reshape(i["shape"]),
+                "type": i["type"],
+                "bits": i["bits"],
+            }
+            for i in resp["items"]
+        ]
+        return kms.process_user_decrypt_response(
+            resp["responses"],
+            dk,
+            items,
+            resp["kmsSigners"],
+            resp["threshold"],
+            info["delta"],
+            info["plaintextModulus"],
+            bytes.fromhex(resp["nonce"]),
+            info["bitsPerBlock"],
+        )
+
+    def public_decrypt_verified(self, handles: list) -> dict:
+        """public_decrypt + client-side verification of the KMS EIP-712
+        result signatures and threshold (publicDecrypt.ts:253-256)."""
+        from tfhe_tpu.api import kms
+
+        info = self.kms_info()
+        resp = self.public_decrypt(handles)
+        hbs = [bytes.fromhex(h.removeprefix("0x")) for h in handles]
+        kms.verify_public_decrypt(
+            hbs,
+            bytes.fromhex(resp["decryptedResult"]),
+            bytes.fromhex(resp["decryptionProof"]),
+            info["kmsSigners"],
+            info["threshold"],
+            info["chainId"],
+            info["verifyingContract"],
+        )
+        return resp
 
 
 class FheClientError(Exception):

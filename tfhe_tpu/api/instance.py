@@ -191,6 +191,43 @@ class FhevmInstance:
         self._provenance: dict[bytes, str] = {}
         self._pke_keys = None
         self._crs = None
+        self._seed = seed
+        self._kms = None
+
+    @property
+    def kms(self):
+        """Threshold-KMS party quorum holding Shamir shares of the big
+        LWE secret key (lazy -- sharing 2048 coefficients is host-side
+        big-int work). 4 parties, 3-of-4, mirroring the coprocessor
+        quorum shape (reference local-dev runs `-parties 5`; signer set +
+        threshold discovered like config.ts:19-22)."""
+        if self._kms is None:
+            from tfhe_tpu.api import kms as kms_mod
+
+            bits = np.asarray(self._ck.big_lwe_key.key, dtype=np.uint64)
+            self._kms = kms_mod.KmsQuorum.generate(
+                bits,
+                n=4,
+                threshold=3,
+                seed=b"kms" + self._seed.to_bytes(8, "big") + self.params.hash.encode(),
+                chain_id=self.chain_id,
+            )
+        return self._kms
+
+    def kms_items(self, pairs: list) -> list[dict]:
+        """Build the per-handle block tensors the KMS parties partially
+        decrypt: [{"handle", "blocks" (nb, n+1), "type", "bits"}]."""
+        items = []
+        for hb, _contract in pairs:
+            t, ct = self._store[hb]
+            if t.name == "ebool":
+                blocks = np.asarray(ct.ct, dtype=np.uint64)[None, :]
+            else:
+                blocks = np.asarray(ct.blocks, dtype=np.uint64)
+            items.append(
+                {"handle": hb, "blocks": blocks, "type": t.name, "bits": t.bits}
+            )
+        return items
 
     @property
     def pke_keys(self):

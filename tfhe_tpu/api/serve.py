@@ -207,24 +207,126 @@ class FheServer:
             raise ApiError(403, str(e))
         return {"value": str(v)}
 
+    def kms_info(self):
+        """KMS signer-set discovery (reference config.ts:19-22
+        getKMSSigners / getKMSSignersThreshold): everything a client
+        needs to build + verify EIP-712 decryption requests."""
+        inst = self.instance
+        q = inst.kms
+        return {
+            "kmsSigners": q.addresses,
+            "threshold": q.threshold,
+            "chainId": q.chain_id,
+            "verifyingContract": q.verifying_contract,
+            "delta": int(inst.params.delta),
+            "plaintextModulus": int(inst.params.plaintext_modulus),
+            "bitsPerBlock": int(inst.params.message_modulus).bit_length() - 1,
+        }
+
     def public_decrypt(self, body):
+        """Clear values PLUS per-party KMS EIP-712
+        PublicDecryptVerification signatures and an assembled
+        decryptionProof (reference publicDecrypt.ts:23-47,132-146) so the
+        caller can verify the result against the KMS quorum rather than
+        trusting the transport."""
+        from tfhe_tpu.api import kms as kms_mod
+
+        inst = self.instance
         handles = [bytes.fromhex(h[2:]) for h in body["handles"]]
         try:
             vals = self.instance.public_decrypt(handles)
         except PermissionError as e:
             raise ApiError(403, str(e))
-        return {"values": {k: str(v) for k, v in vals.items()}}
+        # ABI-style result encoding the signatures commit to: each value
+        # as a 32-byte big-endian word in handle order (publicDecrypt.ts
+        # :50-120 decodes the same way)
+        result = b"".join(
+            (int(vals["0x" + h.hex()]) % (1 << 256)).to_bytes(32, "big")
+            for h in handles
+        )
+        sigs = inst.kms.sign_public_decrypt(handles, result)
+        proof = kms_mod.assemble_decryption_proof(sigs)
+        return {
+            "values": {k: str(v) for k, v in vals.items()},
+            "decryptedResult": result.hex(),
+            "signatures": [s.hex() for s in sigs],
+            "decryptionProof": proof.hex(),
+            "kmsSigners": inst.kms.addresses,
+            "threshold": inst.kms.threshold,
+        }
 
     def user_decrypt(self, body):
+        """Threshold re-encryption, the full KMS protocol -- NO plaintext
+        ever leaves the server (VERDICT round-2 weak #4; reference
+        userDecrypt.ts:99-260):
+
+        1. the EIP-712 UserDecryptRequestVerification signature (or the
+           delegated variant) must recover to the user and cover every
+           requested contract within its validity window;
+        2. ACL persistAllowed gates (handle, user) and (handle, contract);
+        3. each KMS party partially decrypts every block, SIGNS each
+           partial, and SEALS its share payload to the user's ML-KEM key;
+        4. the response carries sealed envelopes + ciphertext blocks; the
+           CLIENT verifies and Lagrange-combines t-of-n shares locally
+           (kms.process_user_decrypt_response)."""
+        from tfhe_tpu.api import kms as kms_mod
+        from tfhe_tpu.utils.keccak import keccak256
+
+        inst = self.instance
         pairs = [
             (bytes.fromhex(p["handle"][2:]), p["contractAddress"])
             for p in body["handleContractPairs"]
         ]
         try:
-            vals = self.instance.user_decrypt(pairs, body["userAddress"])
-        except PermissionError as e:
-            raise ApiError(403, str(e))
-        return {"values": [str(v) for v in vals]}
+            public_key = bytes.fromhex(body["publicKey"].removeprefix("0x"))
+            signature = bytes.fromhex(body["signature"].removeprefix("0x"))
+            contract_addresses = body["contractAddresses"]
+            start_ts = int(body["startTimestamp"])
+            duration = int(body["durationDays"])
+        except (KeyError, ValueError) as e:
+            raise ApiError(400, f"malformed user-decrypt request: {e}")
+        try:
+            kms_mod.verify_user_decrypt_request(
+                signature,
+                body["userAddress"],
+                public_key,
+                contract_addresses,
+                inst.kms.chain_id,
+                start_ts,
+                duration,
+                inst.kms.verifying_contract,
+                requested_contracts=[c for _, c in pairs],
+                delegated_account=body.get("delegatedAccount"),
+            )
+        except kms_mod.KmsRequestError as e:
+            raise ApiError(403, f"request rejected: {e}")
+        user = body["userAddress"]
+        for hb, contract in pairs:
+            if hb not in inst._store:
+                raise ApiError(404, f"unknown handle 0x{hb.hex()}")
+            if not inst.acl.persist_allowed(hb, user):
+                raise ApiError(403, "user not allowed")
+            if not inst.acl.persist_allowed(hb, contract):
+                raise ApiError(403, "contract not allowed")
+        items = inst.kms_items(pairs)
+        nonce = keccak256(b"user-decrypt" + signature + b"".join(h for h, _ in pairs))[:16]
+        envelopes = inst.kms.user_decrypt_respond(items, public_key, nonce)
+        return {
+            "responses": envelopes,
+            "nonce": nonce.hex(),
+            "kmsSigners": inst.kms.addresses,
+            "threshold": inst.kms.threshold,
+            "items": [
+                {
+                    "handle": "0x" + it["handle"].hex(),
+                    "type": it["type"],
+                    "bits": it["bits"],
+                    "shape": list(it["blocks"].shape),
+                    "blocks": it["blocks"].tobytes().hex(),
+                }
+                for it in items
+            ],
+        }
 
     def allow(self, body):
         """ACL grants (reference IFHENetwork.sol:10-51 allow /
@@ -404,6 +506,7 @@ def _make_handler(server: FheServer):
         "/health": server.health,
         "/publickey": server.publickey,
         "/keyurl": server.keyurl,
+        "/kms-info": server.kms_info,
     }
     routes_post = {
         "/encrypt": server.encrypt,
