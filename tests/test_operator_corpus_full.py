@@ -139,10 +139,11 @@ def test_scalar_variants(keys, op, variant):
     _run_binary(*keys, op, 8, variant)
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("bits", [32, 64])
 @pytest.mark.parametrize("op", ALL_OPS)
 def test_enc_enc_wide(keys, op, bits):
+    # default-tier since round 3 (VERDICT item 6): production traffic is
+    # 32/64-bit; the default gate must execute these widths
     _run_binary(*keys, op, bits, "encenc")
 
 

@@ -370,20 +370,23 @@ def test_typed_error_hierarchy(client):
 def test_evaluate_mixed_op_batching(client):
     """VERDICT round-2 item 9: interleaved sub/add/le/select traffic (the
     ERC20 transfer pattern) buckets by (op, type, width) -- NOT adjacency
-    -- so 16 mixed ops share exactly 4 device programs, select included."""
-    a = [client.encrypt(10 + i, "euint8")["handle"] for i in range(4)]
-    b = [client.encrypt(3, "euint8")["handle"] for _ in range(4)]
-    c = [client.evaluate("lt", b[i], a[i])["handle"] for i in range(4)]
+    -- so a 52-op mixed list shares exactly 4 device programs (<< 52
+    dispatch floors), select included."""
+    n = 13
+    a = [client.encrypt(10 + i, "euint8")["handle"] for i in range(n)]
+    b = [client.encrypt(3, "euint8")["handle"] for _ in range(n)]
+    c = [client.evaluate("lt", b[i], a[i])["handle"] for i in range(n)]
     ops = []
-    for i in range(4):
+    for i in range(n):
         ops.append(("sub", [a[i], b[i]]))
         ops.append(("add", [a[i], b[i]]))
         ops.append(("le", [b[i], a[i]]))
         ops.append(("select", [c[i], a[i], b[i]]))
+    assert len(ops) == 52
     r = client.evaluate_many(ops)
     assert r["batchedGroups"] == 4
     assert r["singleOps"] == 0
-    for k in range(4):
+    for k in range(0, n, 4):  # sampled decrypt checks
         hsub, hadd, hle, hsel = r["handles"][4 * k : 4 * k + 4]
         for h, want in ((hsub, 7 + k), (hadd, 13 + k), (hle, 1), (hsel, 10 + k)):
             client.allow(h)
