@@ -164,35 +164,20 @@ def _bench_multibit(jax, jnp, np, si, batch, iters, group=3):
     import time
 
     from tfhe_tpu import params as tp
-    from tfhe_tpu.core.keys import (
-        gen_glwe_secret_key,
-        gen_lwe_secret_key,
-        glwe_to_lwe_secret_key,
-    )
-    from tfhe_tpu.core.lwe import (
-        decrypt_lwe,
-        encrypt_lwe,
-        gen_keyswitch_key,
-        keyswitch,
-    )
-    from tfhe_tpu.core.multibit import (
-        gen_multibit_bootstrap_key,
-        multibit_programmable_bootstrap,
-    )
+    from tfhe_tpu.core.lwe import decrypt_lwe, encrypt_lwe, keyswitch
+    from tfhe_tpu.core.multibit import multibit_programmable_bootstrap
     from tfhe_tpu.rng import FheRng
     from tfhe_tpu.torus import decode, encode
 
     P = tp.PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
     engine = si.engine_for(P)
-    rng = FheRng(1)
     t0 = time.time()
-    lwe_sk = gen_lwe_secret_key(rng, P.lwe_dimension)
-    glwe_sk = gen_glwe_secret_key(rng, P.glwe_dimension, P.polynomial_size)
-    big_sk = glwe_to_lwe_secret_key(glwe_sk)
-    bsk = gen_multibit_bootstrap_key(
-        lwe_sk, glwe_sk, P.pbs, group, rng.fork(), P.glwe_noise, engine
-    )
-    ksk = gen_keyswitch_key(big_sk, lwe_sk, P.ks, rng.fork(), P.lwe_noise)
+    # ONE jitted keygen program (si._keygen_program): the eager key build
+    # paid the ~37 ms axon dispatch floor per op and an eager compile per
+    # engine method -- 477 s in round 2; fused it is one compile + one run.
+    ck, sk = si.keygen(P, seed=1)
+    bsk, ksk = sk.bsk, sk.ksk
+    big_sk = ck.big_lwe_key
     jax.device_get(bsk.bsk_ntt.ravel()[:1])
     keygen_s = time.time() - t0
 

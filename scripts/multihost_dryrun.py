@@ -1,0 +1,230 @@
+"""2-process (DCN) dryrun: the distributed PBS across jax processes.
+
+Launcher mode (no args): spawns two worker processes on a loopback
+jax.distributed coordinator, each with 4 forced CPU devices -> one
+8-device global ("host"=2, "data"=2, "model"=2) mesh; then a
+single-process 8-device baseline for the two-host efficiency number.
+Writes MULTIHOST_r03.json at the repo root.
+
+Worker mode (--worker <pid> <addr> <nprocs>): joins the coordinator,
+builds keys deterministically (zero-byte key broadcast), runs the
+multihost PBS step, decrypt-verifies every process-local output shard,
+and (process 0) audits the compiled HLO so that NO per-step collective
+crosses a host boundary -- the DCN scaling argument (see
+tfhe_tpu/parallel/multihost.py).
+
+Reference analog: the gateway/coprocessor worker fleet
+(local-dev/docker-compose.yml WORKER_COUNT) -- service-level DP over
+hosts; here the host axis is part of one jit-compiled program.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_LOCAL_DEVICES = 4
+STEPS = 3
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(pid: int, addr: str, nprocs: int) -> None:
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import jax
+
+    if nprocs > 1:
+        from tfhe_tpu.parallel.multihost import initialize
+
+        initialize(addr, nprocs, pid)
+    import jax.numpy as jnp
+
+    from tfhe_tpu import params as tp
+    from tfhe_tpu.models import shortint as si
+    from tfhe_tpu.parallel.multihost import (
+        collective_stats,
+        make_host_mesh,
+        make_multihost_pbs_step,
+        replicate_global,
+        shard_batch_global,
+    )
+    from tfhe_tpu.rng import FheRng
+
+    assert jax.process_count() == nprocs, (jax.process_count(), nprocs)
+    P = tp.TOY_SHORTINT
+    mesh = make_host_mesh(n_model=2)
+    n_host, n_data = mesh.devices.shape[0], mesh.devices.shape[1]
+
+    ck, sk = si.keygen(P, seed=3)  # deterministic: same keys on every host
+    engine = si.engine_for(P)
+    g_bsk, g_ksk = replicate_global(mesh, (sk.bsk.bsk_ntt, sk.ksk.ksk))
+    lut = replicate_global(
+        mesh, si.generate_lut(P, np.arange(16, dtype=np.uint64))
+    )
+
+    # each host encrypts ITS OWN rows of the global batch (large enough
+    # that per-step dispatch does not dominate the efficiency ratio)
+    per_host = 16 * n_data
+    vals_global = np.arange(n_host * per_host, dtype=np.uint64) % 4
+    lo = pid * per_host if nprocs > 1 else 0
+    local_vals = vals_global[lo : lo + per_host] if nprocs > 1 else vals_global
+    local_ct = si.encrypt(
+        ck, jnp.asarray(local_vals), FheRng(100 + pid)
+    ).ct
+    g_ct = shard_batch_global(mesh, np.asarray(local_ct))
+
+    step = make_multihost_pbs_step(mesh, engine, P.ks, P.pbs, sk.bsk.shift)
+    lowered = step.lower(g_ct, lut, g_bsk, g_ksk)
+    compiled = lowered.compile()
+
+    colls = []
+    if pid == 0:
+        colls = collective_stats(compiled.as_text(), mesh)
+        dcn = [c for c in colls if c["crosses_host"]]
+        assert not dcn, f"per-step collective crosses DCN: {dcn}"
+
+    out = compiled(g_ct, lut, g_bsk, g_ksk)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(STEPS):
+        out = compiled(g_ct, lut, g_bsk, g_ksk)
+    jax.block_until_ready(out)
+    wall = time.time() - t0
+
+    # decrypt-verify every shard THIS process owns
+    n_checked = 0
+    for sh in out.addressable_shards:
+        sl = sh.index[0]
+        dec = si.decrypt(
+            ck,
+            si.Ciphertext(ct=jnp.asarray(np.asarray(sh.data)), params=P,
+                          degree=3, noise_level=1),
+        )
+        want = vals_global[sl]
+        assert (np.asarray(dec) == want).all(), (pid, sl, np.asarray(dec), want)
+        n_checked += len(want)
+
+    res = {
+        "proc": pid,
+        "nprocs": nprocs,
+        "ok": True,
+        "global_devices": len(jax.devices()),
+        "mesh": "x".join(str(d) for d in mesh.devices.shape),
+        "shards_verified": n_checked,
+        "batch_global": int(n_host * per_host),
+        "steps": STEPS,
+        "wall_s": round(wall, 3),
+        "pbs_per_s": round(n_host * per_host * STEPS / wall, 2),
+    }
+    if pid == 0:
+        res["collectives"] = colls
+        res["dcn_bytes_per_step"] = sum(
+            c["bytes"] for c in colls if c["crosses_host"]
+        )
+    out_path = os.environ["TFHE_MH_OUT"]
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
+def _spawn(pid: int, addr: str, nprocs: int, out_path: str,
+           n_local: int = N_LOCAL_DEVICES):
+    env = dict(os.environ)
+    # the axon TPU plugin (sitecustomize) hooks the distributed runtime;
+    # workers must be plain-CPU processes
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={n_local}",
+        TFHE_MH_OUT=out_path,
+        JAX_ENABLE_X64="1",
+    )
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(pid),
+         addr, str(nprocs)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+
+
+def launcher(artifact: str) -> dict:
+    tmp = f"/tmp/tfhe_mh_{os.getpid()}"
+    addr = f"127.0.0.1:{_free_port()}"
+    procs = [
+        _spawn(i, addr, 2, f"{tmp}_p{i}.json") for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            out = (p.communicate()[0] or b"") + b"\n[timeout]"
+        logs.append(out.decode(errors="replace")[-2000:])
+    multi = []
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            return {"ok": False, "stage": f"worker{i}", "log": logs[i]}
+        with open(f"{tmp}_p{i}.json") as f:
+            multi.append(json.load(f))
+
+    # single-process 8-device baseline (same global device count)
+    bp = _spawn(0, "none", 1, f"{tmp}_base.json",
+                n_local=2 * N_LOCAL_DEVICES)
+    bout, _ = bp.communicate(timeout=420)
+    if bp.returncode != 0:
+        return {"ok": False, "stage": "baseline",
+                "log": bout.decode(errors="replace")[-2000:]}
+    with open(f"{tmp}_base.json") as f:
+        base = json.load(f)
+
+    eff = multi[0]["pbs_per_s"] / base["pbs_per_s"] if base["pbs_per_s"] else 0
+    result = {
+        "ok": all(m["ok"] for m in multi),
+        "skipped": False,
+        "n_processes": 2,
+        "mesh": multi[0]["mesh"],
+        "global_devices": multi[0]["global_devices"],
+        "decrypt_verified_rows": sum(m["shards_verified"] for m in multi),
+        "dcn_bytes_per_step": multi[0].get("dcn_bytes_per_step"),
+        "collectives": multi[0].get("collectives"),
+        "two_proc_pbs_per_s": multi[0]["pbs_per_s"],
+        "one_proc_pbs_per_s": base["pbs_per_s"],
+        "dcn_efficiency": round(eff, 3),
+        "note": (
+            "2 jax processes x 4 CPU devices, loopback coordinator; host "
+            "axis carries zero per-step collective bytes (HLO-audited), so "
+            "two-host efficiency is dispatch-bound only. CPU loopback "
+            "timing is noisy; the layout argument is the audit."
+        ),
+    }
+    with open(artifact, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    artifact = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "MULTIHOST_r03.json"
+    )
+    res = launcher(artifact)
+    print(json.dumps({k: v for k, v in res.items() if k != "collectives"},
+                     indent=1))
+    sys.exit(0 if res.get("ok") else 1)
+
+
+if __name__ == "__main__":
+    main()

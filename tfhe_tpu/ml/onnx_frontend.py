@@ -9,11 +9,18 @@ reader for the ModelProto subset ONNX graphs need (field numbers from
 the public onnx.proto3 schema), and a lowering of the common op set
 onto ml/quantized_ops' DAG executor.
 
-Supported ops: Gemm, MatMul, Conv, Add, Sub, Mul, Div, Relu, Sigmoid,
-Tanh, Softplus, Elu, LeakyRelu, Clip, MaxPool, AveragePool, Flatten,
-Reshape, Transpose, Identity, BatchNormalization, Concat, Pad,
-ReduceSum, Greater, Less, Equal, Where, Neg, Abs, Exp, Log, Erf.
-torch.onnx.export-produced files parse directly.
+Supported ops (55): Gemm, MatMul, Conv, Add, Sub, Mul, Div, Sum, Pow,
+PRelu, Relu, Sigmoid, Tanh, Softplus, Elu, Selu, Celu, LeakyRelu,
+HardSigmoid, HardSwish, Clip, Sqrt, Reciprocal, Sin, Cos, Tan, Sinh,
+Cosh, Asin, Acos, Atan, Asinh, Acosh, Atanh, Softmax, MaxPool,
+AveragePool, GlobalAveragePool, Flatten, Reshape, Transpose, Squeeze,
+Unsqueeze, Pad, Expand, Split, Slice, Gather, Identity, Cast,
+BatchNormalization, Concat, ReduceSum, ReduceMean, ReduceMax, ReduceMin,
+Resize, Greater(OrEqual), Less(OrEqual), Equal, And, Or, Xor, Where,
+Neg, Abs, Exp, Log, Erf, Sign, Round, Floor, Not, plus
+QuantizeLinear/DequantizeLinear (QAT import, compile_qat_onnx_model).
+Weight/shape chains through constant nodes are folded host-side
+(const_fold). torch.onnx.export-produced files parse directly.
 """
 
 from __future__ import annotations
@@ -106,7 +113,11 @@ class OnnxGraph:
     outputs: list
 
 
-_DT = {1: np.float32, 6: np.int32, 7: np.int64, 9: np.bool_, 11: np.float64}
+_DT = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 11: np.float64, 12: np.uint32,
+    13: np.uint64,
+}
 
 
 def _parse_tensor(buf: bytes) -> OnnxTensor:
@@ -156,6 +167,9 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
         arr = np.asarray(doubles, dtype=np.float64)
     else:
         arr = np.zeros(0, dtype=np_dt)
+    if arr.dtype != np_dt and arr.size:
+        # ONNX stores narrow ints in int32_data: honor the declared type
+        arr = arr.astype(np_dt)
     if dims:
         arr = arr.reshape(dims)
     return OnnxTensor(name=name, dims=tuple(dims), data=arr)
@@ -250,13 +264,140 @@ _TLU_OPS = {
     "Neg": "Neg", "Abs": "Abs", "Exp": "Exp", "Log": "Log", "Erf": "Erf",
     "Identity": "Identity", "Sign": "Sign", "Round": "Round",
     "Floor": "Floor", "Not": "Not", "Selu": "Selu", "Celu": "Celu",
+    "Sqrt": "Sqrt", "Reciprocal": "Reciprocal", "Sin": "Sin", "Cos": "Cos",
+    "Tan": "Tan", "Sinh": "Sinh", "Cosh": "Cosh", "Asin": "Asin",
+    "Acos": "Acos", "Atan": "Atan", "Asinh": "Asinh", "Acosh": "Acosh",
+    "Atanh": "Atanh",
 }
 _BIN_OPS = {
     "Add": qo.QuantizedAdd, "Sub": qo.QuantizedSub, "Mul": qo.QuantizedMul,
     "Div": qo.QuantizedDiv, "Greater": qo.QuantizedGreater,
-    "Less": qo.QuantizedLess, "Equal": qo.QuantizedEqual,
+    "GreaterOrEqual": qo.QuantizedGreaterOrEqual,
+    "Less": qo.QuantizedLess, "LessOrEqual": qo.QuantizedLessOrEqual,
+    "Equal": qo.QuantizedEqual,
     "Min": qo.QuantizedMin, "Max": qo.QuantizedMax, "Or": qo.QuantizedOr,
+    "And": qo.QuantizedAnd, "Xor": qo.QuantizedXor,
 }
+
+
+# -- constant folding ---------------------------------------------------------
+#
+# torch/brevitas exports route weights through DequantizeLinear(
+# QuantizeLinear(w)) chains and shapes through Concat/Unsqueeze chains.
+# Nodes whose inputs are ALL initializers are evaluated host-side and
+# their outputs become initializers -- the importer trick every real
+# frontend uses (the reference gets it from onnxoptimizer).
+
+
+def _qdq_bounds(zp: np.ndarray) -> tuple[int, int]:
+    """Quantized range from the zero-point tensor's dtype. ONNX QDQ
+    zero-points are int8/uint8/int16/uint16; wider dtypes (some
+    exporters store zp as int64) keep the signedness but mean 8-bit."""
+    dt = zp.dtype if zp.dtype.kind in "iu" else np.dtype(np.int8)
+    if dt.itemsize > 2:
+        dt = np.dtype(np.int8 if dt.kind == "i" else np.uint8)
+    info = np.iinfo(dt)
+    return info.min, info.max
+
+
+def _fold_eval(node: OnnxNode, ins: list[np.ndarray]):
+    t = node.op_type
+    a = ins[0] if ins else None
+    if t == "Identity":
+        return a
+    if t == "Cast":
+        return a  # quantized-pipeline values keep float-with-int semantics
+    if t == "Reshape":
+        shape = tuple(-1 if s == 0 else int(s) for s in ins[1])
+        return np.asarray(a).reshape(shape)
+    if t == "Transpose":
+        return np.transpose(a, node.attrs.get("perm"))
+    if t == "Squeeze":
+        ax = node.attrs.get("axes") or (
+            [int(v) for v in ins[1]] if len(ins) > 1 else None
+        )
+        return np.squeeze(a, axis=tuple(ax) if ax else None)
+    if t == "Unsqueeze":
+        ax = node.attrs.get("axes") or [int(v) for v in ins[1]]
+        out = np.asarray(a)
+        for x in sorted(int(v) for v in ax):
+            out = np.expand_dims(out, axis=x)
+        return out
+    if t == "Concat":
+        return np.concatenate(ins, axis=int(node.attrs.get("axis", 0)))
+    if t == "Gather":
+        return np.take(a, np.asarray(ins[1], np.int64),
+                       axis=int(node.attrs.get("axis", 0)))
+    if t == "Slice":
+        starts, ends = ins[1], ins[2]
+        axes = ins[3] if len(ins) > 3 else np.arange(len(starts))
+        steps = ins[4] if len(ins) > 4 else np.ones(len(starts), np.int64)
+        sl = [slice(None)] * np.asarray(a).ndim
+        for st, en, ax, sp in zip(starts, ends, axes, steps):
+            sl[int(ax)] = slice(int(st), None if en >= 2**62 else int(en),
+                                int(sp))
+        return np.asarray(a)[tuple(sl)]
+    if t == "QuantizeLinear":
+        scale = np.asarray(ins[1], np.float64)
+        zp = ins[2] if len(ins) > 2 else np.zeros((), np.int8)
+        qmin, qmax = _qdq_bounds(np.asarray(zp))
+        ax = int(node.attrs.get("axis", 1))
+        if scale.ndim == 1 and scale.size > 1:  # per-channel
+            sh = [1] * np.asarray(a).ndim
+            sh[ax] = -1
+            scale = scale.reshape(sh)
+            zp = np.asarray(zp, np.float64).reshape(sh)
+        q = np.round(np.asarray(a, np.float64) / scale) + np.asarray(
+            zp, np.float64
+        )
+        return np.clip(q, qmin, qmax)
+    if t == "DequantizeLinear":
+        scale = np.asarray(ins[1], np.float64)
+        zp = ins[2] if len(ins) > 2 else np.zeros((), np.int8)
+        ax = int(node.attrs.get("axis", 1))
+        if scale.ndim == 1 and scale.size > 1:
+            sh = [1] * np.asarray(a).ndim
+            sh[ax] = -1
+            scale = scale.reshape(sh)
+            zp = np.asarray(zp, np.float64).reshape(sh)
+        return (np.asarray(a, np.float64) - np.asarray(zp, np.float64)) * scale
+    if t == "Add":
+        return np.asarray(a, np.float64) + np.asarray(ins[1], np.float64)
+    if t == "Sub":
+        return np.asarray(a, np.float64) - np.asarray(ins[1], np.float64)
+    if t == "Mul":
+        return np.asarray(a, np.float64) * np.asarray(ins[1], np.float64)
+    if t == "Div":
+        return np.asarray(a, np.float64) / np.asarray(ins[1], np.float64)
+    if t == "Neg":
+        return -np.asarray(a, np.float64)
+    if t == "Sqrt":
+        return np.sqrt(np.asarray(a, np.float64))
+    if t == "Clip":
+        lo = float(ins[1]) if len(ins) > 1 else -3.4e38
+        hi = float(ins[2]) if len(ins) > 2 else 3.4e38
+        return np.clip(np.asarray(a, np.float64), lo, hi)
+    return None  # not foldable
+
+
+def const_fold(g: OnnxGraph) -> OnnxGraph:
+    """Evaluate nodes whose inputs are all initializers; their outputs
+    join g.initializers and the nodes are dropped."""
+    inits = dict(g.initializers)
+    kept = []
+    for node in g.nodes:
+        if node.inputs and all(i in inits for i in node.inputs if i):
+            ins = [np.asarray(inits[i].data) for i in node.inputs if i]
+            val = _fold_eval(node, ins)
+            if val is not None:
+                for oname in node.outputs:
+                    inits[oname] = OnnxTensor(
+                        name=oname, dims=np.shape(val), data=np.asarray(val)
+                    )
+                continue
+        kept.append(node)
+    return OnnxGraph(nodes=kept, initializers=inits, inputs=g.inputs,
+                     outputs=g.outputs)
 
 
 @dataclasses.dataclass
@@ -274,10 +415,19 @@ class _Const:
 
 def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
     """Lower the parsed graph onto QuantizedGraphModule. Single graph
-    input; initializers become op weights or constant nodes."""
+    input; initializers become op weights or constant nodes.
+
+    QuantizeLinear/DequantizeLinear pairs on ACTIVATIONS lower to
+    fixed-scale fake-quant ops (QAT import: scales come from the trained
+    model, reference torch/compile.py:452 compile_brevitas_qat_model /
+    quantization/qat_quantizers.py); on WEIGHTS they constant-fold so
+    linear ops consume the exact dequantized integer grid."""
+    g = const_fold(g)
     assert len(g.inputs) == 1, f"expected one graph input, got {g.inputs}"
     name_to_id: dict[str, object] = {g.inputs[0]: "input"}
     nodes: list[qo.GraphNode] = []
+    qdq_ids: set = set()  # node ids produced by QuantizeLinear
+    input_qdq: list = []  # fixed quantizer of the graph input, if QAT
 
     def add(op, input_ids) -> int:
         nodes.append(qo.GraphNode(op, tuple(input_ids)))
@@ -400,11 +550,234 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
             )
         elif op_t in ("Cast",):
             out = add(qo.QuantizedCast(), (resolve(node.inputs[0]),))
+        elif op_t == "Softmax":
+            out = add(
+                qo.QuantizedSoftmax(axis=int(node.attrs.get("axis", -1))),
+                (resolve(node.inputs[0]),),
+            )
+        elif op_t == "Gather":
+            if node.inputs[1] not in g.initializers:
+                raise NotImplementedError(
+                    "Gather with encrypted (non-constant) indices cannot "
+                    "be evaluated under FHE"
+                )
+            idx = np.asarray(g.initializers[node.inputs[1]].data, np.int64)
+            out = add(
+                qo.QuantizedGather(
+                    indices=idx, axis=int(node.attrs.get("axis", 0))
+                ),
+                (resolve(node.inputs[0]),),
+            )
+        elif op_t == "Slice":
+            def _c(i, default=None):
+                if len(node.inputs) > i and node.inputs[i]:
+                    return tuple(
+                        int(v) for v in g.initializers[node.inputs[i]].data
+                    )
+                return default
+            starts = _c(1) or tuple(node.attrs.get("starts", ()))
+            ends = _c(2) or tuple(node.attrs.get("ends", ()))
+            axes = _c(3) or (tuple(node.attrs["axes"])
+                             if "axes" in node.attrs else None)
+            steps = _c(4)
+            out = add(
+                qo.QuantizedSlice(starts=starts, ends=ends, axes=axes,
+                                  steps=steps),
+                (resolve(node.inputs[0]),),
+            )
+        elif op_t in ("ReduceMean", "ReduceMax", "ReduceMin"):
+            axes = node.attrs.get("axes")
+            if axes is None and len(node.inputs) > 1:
+                axes = [int(v) for v in g.initializers[node.inputs[1]].data]
+            out = add(
+                qo.QuantizedReduce(
+                    kind=op_t[6:].lower(),
+                    axes=tuple(axes) if axes else (-1,),
+                    keepdims=bool(node.attrs.get("keepdims", 1)),
+                ),
+                (resolve(node.inputs[0]),),
+            )
+        elif op_t == "GlobalAveragePool":
+            out = add(qo.QuantizedGlobalAveragePool(),
+                      (resolve(node.inputs[0]),))
+        elif op_t == "Resize":
+            scales = None
+            for i in (2, 1):  # scales input (opset 11+: input 2)
+                if len(node.inputs) > i and node.inputs[i] in g.initializers:
+                    v = np.asarray(
+                        g.initializers[node.inputs[i]].data, np.float64
+                    )
+                    if v.size == 4:
+                        scales = (float(v[2]), float(v[3]))
+                        break
+            if scales is None:
+                raise NotImplementedError("Resize without constant scales")
+            out = add(qo.QuantizedResize(scales=scales),
+                      (resolve(node.inputs[0]),))
+        elif op_t == "Squeeze":
+            axes = node.attrs.get("axes")
+            if axes is None and len(node.inputs) > 1:
+                axes = [int(v) for v in g.initializers[node.inputs[1]].data]
+            out = add(qo.QuantizedSqueeze(axis=tuple(axes)[0]),
+                      (resolve(node.inputs[0]),))
+        elif op_t == "Unsqueeze":
+            axes = node.attrs.get("axes")
+            if axes is None and len(node.inputs) > 1:
+                axes = [int(v) for v in g.initializers[node.inputs[1]].data]
+            out = add(qo.QuantizedUnsqueeze(axis=tuple(axes)[0]),
+                      (resolve(node.inputs[0]),))
+        elif op_t == "Pad":
+            pads = node.attrs.get("pads")
+            if pads is None and len(node.inputs) > 1:
+                pads = [int(v) for v in g.initializers[node.inputs[1]].data]
+            nd = len(pads) // 2
+            pad_width = tuple(
+                (int(pads[i]), int(pads[i + nd])) for i in range(nd)
+            )
+            val = 0.0
+            if len(node.inputs) > 2 and node.inputs[2] in g.initializers:
+                val = float(g.initializers[node.inputs[2]].data)
+            out = add(qo.QuantizedPad(pads=pad_width, value=val),
+                      (resolve(node.inputs[0]),))
+        elif op_t == "Expand":
+            shape = tuple(
+                int(v) for v in g.initializers[node.inputs[1]].data
+            )
+            out = add(qo.QuantizedExpand(shape=shape),
+                      (resolve(node.inputs[0]),))
+        elif op_t == "Split":
+            # one Slice per output (the DAG is single-output per node)
+            axis = int(node.attrs.get("axis", 0))
+            sizes = node.attrs.get("split")
+            if sizes is None and len(node.inputs) > 1:
+                sizes = [int(v) for v in g.initializers[node.inputs[1]].data]
+            assert sizes, "Split requires explicit sizes"
+            src = resolve(node.inputs[0])
+            off = 0
+            for oname, sz in zip(node.outputs, sizes):
+                nid = add(
+                    qo.QuantizedSlice(starts=(off,), ends=(off + int(sz),),
+                                      axes=(axis,)),
+                    (src,),
+                )
+                name_to_id[oname] = nid
+                off += int(sz)
+            continue
+        elif op_t == "Sum":
+            out = add(qo.QuantizedSum(n_inputs=len(node.inputs)),
+                      tuple(resolve(i) for i in node.inputs))
+        elif op_t == "PRelu":
+            if node.inputs[1] in g.initializers:
+                slope = np.asarray(
+                    g.initializers[node.inputs[1]].data, np.float64
+                )
+                if slope.size == 1:
+                    out = add(
+                        qo.make_univariate("PRelu", n_bits=n_bits,
+                                        slope=float(slope.ravel()[0])),
+                        (resolve(node.inputs[0]),),
+                    )
+                else:
+                    out = add(
+                        qo.QuantizedPRelu(),
+                        (resolve(node.inputs[0]),
+                         resolve(node.inputs[1])),
+                    )
+            else:
+                out = add(
+                    qo.QuantizedPRelu(),
+                    (resolve(node.inputs[0]), resolve(node.inputs[1])),
+                )
+        elif op_t == "Pow":
+            if node.inputs[1] not in g.initializers:
+                raise NotImplementedError("Pow with non-constant exponent")
+            p = float(np.asarray(g.initializers[node.inputs[1]].data).ravel()[0])
+            out = add(
+                qo.make_univariate("Pow", n_bits=n_bits, exponent=p),
+                (resolve(node.inputs[0]),),
+            )
+        elif op_t == "QuantizeLinear":
+            scale = float(
+                np.asarray(g.initializers[node.inputs[1]].data).ravel()[0]
+            )
+            zp_t = (
+                g.initializers[node.inputs[2]].data
+                if len(node.inputs) > 2 and node.inputs[2] in g.initializers
+                else np.zeros((), np.int8)
+            )
+            qmin, qmax = _qdq_bounds(np.asarray(zp_t))
+            zp = float(np.asarray(zp_t, np.float64).ravel()[0])
+            src = resolve(node.inputs[0])
+            out = add(
+                qo.QuantizedQDQ(scale=scale, zero_point=zp, qmin=qmin,
+                                qmax=qmax),
+                (src,),
+            )
+            qdq_ids.add(out)
+            if src == "input":
+                input_qdq.append(nodes[out].op)
+        elif op_t == "DequantizeLinear":
+            src = resolve(node.inputs[0])
+            if src in qdq_ids:
+                # Q->DQ pair: the QDQ node already returns dequantized
+                # values; DQ is the identity half of the pair
+                for oname in node.outputs:
+                    name_to_id[oname] = src
+                continue
+            scale = float(
+                np.asarray(g.initializers[node.inputs[1]].data).ravel()[0]
+            )
+            zp = 0.0
+            if len(node.inputs) > 2 and node.inputs[2] in g.initializers:
+                zp = float(
+                    np.asarray(
+                        g.initializers[node.inputs[2]].data, np.float64
+                    ).ravel()[0]
+                )
+            out = add(qo.QuantizedDequant(scale=scale, zero_point=zp), (src,))
         else:
             raise NotImplementedError(f"ONNX op {op_t} not supported")
         for oname in node.outputs:
             name_to_id[oname] = out
-    return qo.QuantizedGraphModule(nodes, n_bits=n_bits)
+    qm = qo.QuantizedGraphModule(nodes, n_bits=n_bits)
+    if input_qdq:
+        from tfhe_tpu.ml.quantization import UniformQuantizer
+
+        op = input_qdq[0]
+        q = UniformQuantizer(
+            n_bits=(op.qmax - op.qmin + 1).bit_length() - 1,
+            is_signed=op.qmin < 0,
+        )
+        q.scale = np.float64(op.scale)
+        q.zero_point = np.float64(op.zero_point)
+        qm.preset_input_quantizer = q
+    return qm
+
+
+def compile_qat_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0):
+    """QAT graph import (reference torch/compile.py:452
+    compile_brevitas_qat_model): the model is a QDQ/QCDQ ONNX export
+    (brevitas `export_onnx_qcdq`, torch.ao quantized export) whose
+    QuantizeLinear/DequantizeLinear nodes carry the TRAINED scales and
+    zero-points. Lowering takes every quantizer from the graph --
+    calibration only walks ranges for TLU tables; the input quantizer
+    and all activation grids are the model's own.
+
+    Raises if the graph carries no QDQ pairs (then it is not a QAT
+    export -- use compile_onnx_model)."""
+    data = open(model, "rb").read() if isinstance(model, str) else model
+    g = parse_model(data)
+    if not any(
+        n.op_type in ("QuantizeLinear", "DequantizeLinear") for n in g.nodes
+    ):
+        raise ValueError(
+            "no QuantizeLinear/DequantizeLinear nodes: not a QAT export "
+            "(use compile_onnx_model for float graphs)"
+        )
+    qm = graph_to_module(g, n_bits=n_bits)
+    qm.calibrate(np.asarray(x_cal, np.float64))
+    qm.compile(seed=seed)
+    return qm
 
 
 def compile_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0):

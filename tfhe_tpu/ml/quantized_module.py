@@ -353,9 +353,17 @@ def compile_onnx_model(onnx_model, inputset, n_bits: int = 8, **kw):
 
 
 def compile_brevitas_qat_model(model, inputset, n_bits: int = 8, **kw):
-    """Reference torch/compile.py:452 (QAT import). brevitas is not
-    vendored; post-training quantization via compile_torch_model covers
-    inference parity."""
+    """Reference torch/compile.py:452 (QAT import). brevitas itself is
+    not vendored in this image; its interchange format is -- brevitas
+    models export to ONNX QCDQ (QuantizeLinear/DequantizeLinear carrying
+    the trained scales), which ml/onnx_frontend.compile_qat_onnx_model
+    imports with model-provided quantizers. Pass the exported bytes or
+    path; a live brevitas nn.Module raises with that guidance."""
+    if isinstance(model, (str, bytes)):
+        from tfhe_tpu.ml.onnx_frontend import compile_qat_onnx_model
+
+        return compile_qat_onnx_model(model, inputset, n_bits=n_bits, **kw)
     raise NotImplementedError(
-        "brevitas is not available in this build; use compile_torch_model"
+        "brevitas is not available in this build; export the QAT model "
+        "to ONNX QCDQ (brevitas export_onnx_qcdq) and pass the bytes/path"
     )

@@ -79,6 +79,20 @@ UNIVARIATE_OPS: dict[str, Callable] = {
     "Erf": _erf,
     "Not": lambda x: 1.0 - (np.asarray(x) != 0).astype(np.float64),
     "Identity": lambda x: x,
+    # reference quantized_ops.py trig/analytic family (:2217-:2522)
+    "Sqrt": lambda x: np.sqrt(np.maximum(x, 0.0)),
+    "Reciprocal": lambda x: 1.0 / np.where(np.abs(x) < 1e-12, 1e-12, x),
+    "Sin": np.sin,
+    "Cos": np.cos,
+    "Tan": lambda x: np.tan(np.clip(x, -1.55, 1.55)),
+    "Sinh": lambda x: np.sinh(np.clip(x, -60.0, 60.0)),
+    "Cosh": lambda x: np.cosh(np.clip(x, -60.0, 60.0)),
+    "Asin": lambda x: np.arcsin(np.clip(x, -1.0, 1.0)),
+    "Acos": lambda x: np.arccos(np.clip(x, -1.0, 1.0)),
+    "Atan": np.arctan,
+    "Asinh": np.arcsinh,
+    "Acosh": lambda x: np.arccosh(np.maximum(x, 1.0)),
+    "Atanh": lambda x: np.arctanh(np.clip(x, -0.999999, 0.999999)),
 }
 
 
@@ -187,6 +201,44 @@ class QuantizedCast(QuantizedOp):
 
 
 @dataclasses.dataclass
+class QuantizedQDQ(QuantizedOp):
+    """QuantizeLinear+DequantizeLinear pair on an activation: fake-quant
+    with MODEL-provided scale/zero-point. This is the QAT import
+    semantics (reference quantization/qat_quantizers.py; brevitas QCDQ
+    export): ranges come from training, NOT from calibration data."""
+
+    scale: float = 1.0
+    zero_point: float = 0.0
+    qmin: int = -128
+    qmax: int = 127
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        q = np.clip(
+            np.round(np.asarray(x, np.float64) / self.scale)
+            + self.zero_point,
+            self.qmin, self.qmax,
+        )
+        return (q - self.zero_point) * self.scale
+
+
+@dataclasses.dataclass
+class QuantizedDequant(QuantizedOp):
+    """Standalone DequantizeLinear (integer codes -> float)."""
+
+    scale: float = 1.0
+    zero_point: float = 0.0
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        return (np.asarray(x, np.float64) - self.zero_point) * self.scale
+
+
+@dataclasses.dataclass
 class QuantizedMaxPool(QuantizedOp):
     kernel: tuple = (2, 2)
     stride: tuple | None = None
@@ -275,6 +327,26 @@ QuantizedOr = _binop(
 )
 QuantizedMin = _binop("Min", np.minimum)
 QuantizedMax = _binop("Max", np.maximum)
+QuantizedAnd = _binop(
+    "And", lambda a, b: ((a != 0) & (b != 0)).astype(np.float64)
+)
+QuantizedXor = _binop(
+    "Xor", lambda a, b: ((a != 0) ^ (b != 0)).astype(np.float64)
+)
+QuantizedPRelu = _binop("PRelu", lambda a, b: np.where(a > 0, a, b * a))
+
+
+class QuantizedSum(GraphOp):
+    """ONNX Sum: n-ary elementwise add."""
+
+    def __init__(self, n_inputs: int = 2):
+        self.n_inputs = n_inputs
+
+    def forward(self, *xs, fhe=FheMode.DISABLE):
+        out = np.asarray(xs[0], np.float64)
+        for x in xs[1:]:
+            out = out + np.asarray(x, np.float64)
+        return out
 
 
 class QuantizedWhere(GraphOp):
@@ -305,6 +377,114 @@ class QuantizedReduceSum(QuantizedOp):
         return np.asarray(x, np.float64).sum(
             axis=self.axis, keepdims=self.keepdims
         )
+
+
+@dataclasses.dataclass
+class QuantizedReduce(QuantizedOp):
+    """ReduceMean/Max/Min (reference QuantizedReduce* classes); `axes`
+    is a tuple so ONNX axis lists lower directly."""
+
+    kind: str = "mean"  # mean | max | min
+    axes: tuple = (-1,)
+    keepdims: bool = True
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        x = np.asarray(x, np.float64)
+        fn = {"mean": np.mean, "max": np.max, "min": np.min}[self.kind]
+        return fn(x, axis=tuple(self.axes), keepdims=self.keepdims)
+
+
+@dataclasses.dataclass
+class QuantizedSoftmax(QuantizedOp):
+    """Softmax along `axis`. Under FHE the reference evaluates the exp
+    TLU encrypted and normalizes in the clear post-decryption (concrete-ml
+    keeps Softmax as the network head); the quantized pipeline computes
+    the full stable softmax."""
+
+    axis: int = -1
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        x = np.asarray(x, np.float64)
+        z = x - x.max(axis=self.axis, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=self.axis, keepdims=True)
+
+
+@dataclasses.dataclass
+class QuantizedGather(QuantizedOp):
+    """Gather with constant indices (the embedding/selection form every
+    exported classifier uses; data-dependent indices cannot be evaluated
+    under FHE and raise at lowering)."""
+
+    indices: np.ndarray = None
+    axis: int = 0
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        return np.take(np.asarray(x), np.asarray(self.indices, np.int64),
+                       axis=self.axis)
+
+
+@dataclasses.dataclass
+class QuantizedSlice(QuantizedOp):
+    """ONNX Slice with constant starts/ends/axes/steps."""
+
+    starts: tuple = ()
+    ends: tuple = ()
+    axes: tuple | None = None
+    steps: tuple | None = None
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        x = np.asarray(x)
+        axes = self.axes if self.axes is not None else tuple(
+            range(len(self.starts))
+        )
+        steps = self.steps if self.steps is not None else (1,) * len(axes)
+        sl = [slice(None)] * x.ndim
+        for st, en, ax, sp in zip(self.starts, self.ends, axes, steps):
+            sl[ax] = slice(int(st), None if en >= 2**62 else int(en), int(sp))
+        return x[tuple(sl)]
+
+
+@dataclasses.dataclass
+class QuantizedGlobalAveragePool(QuantizedOp):
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        x = np.asarray(x, np.float64)
+        return x.mean(axis=tuple(range(2, x.ndim)), keepdims=True)
+
+
+@dataclasses.dataclass
+class QuantizedResize(QuantizedOp):
+    """Nearest-neighbor resize by integer-or-rational scales on the
+    spatial dims (the upsampling mode QAT CNNs export)."""
+
+    scales: tuple = (1.0, 1.0)  # spatial (H, W) scales
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        x = np.asarray(x)
+        b, c, h, w = x.shape
+        sh, sw = self.scales
+        oh, ow = int(round(h * sh)), int(round(w * sw))
+        yi = np.minimum((np.arange(oh) / sh).astype(np.int64), h - 1)
+        xi = np.minimum((np.arange(ow) / sw).astype(np.int64), w - 1)
+        return x[:, :, yi][:, :, :, xi]
 
 
 @dataclasses.dataclass
@@ -354,6 +534,9 @@ class QuantizedGraphModule:
         self.nodes = list(nodes)
         self.n_bits = n_bits
         self.input_quantizer: UniformQuantizer | None = None
+        # QAT import: a model-provided input quantizer (scale/zero-point
+        # from training) overrides calibration fitting
+        self.preset_input_quantizer: UniformQuantizer | None = None
         self._compiled = False
 
     def _run(self, x, fhe, calibrate=False):
@@ -370,7 +553,12 @@ class QuantizedGraphModule:
 
     def calibrate(self, x_cal):
         x = np.asarray(x_cal, np.float64)
-        self.input_quantizer = UniformQuantizer(self.n_bits, is_signed=True).fit(x)
+        if self.preset_input_quantizer is not None:
+            self.input_quantizer = self.preset_input_quantizer
+        else:
+            self.input_quantizer = UniformQuantizer(
+                self.n_bits, is_signed=True
+            ).fit(x)
         self._run(x, FheMode.DISABLE, calibrate=True)
         return self
 

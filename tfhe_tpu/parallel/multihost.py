@@ -1,0 +1,194 @@
+"""Multi-host (DCN) execution: the host axis of the distributed PBS.
+
+The reference scales past one machine with a redis job queue and a worker
+pool per host (reference: local-dev/docker-compose.yml WORKER_COUNT, the
+gateway's coprocessor fan-out); the TPU-native analog is a THIRD mesh
+axis, "host", mapped to process boundaries:
+
+    mesh = ("host", "data", "model")
+      host  -- one entry per jax process (DCN-facing). The ciphertext
+               batch is sharded over host x data, so NO per-step
+               collective ever crosses DCN: host-axis traffic is the
+               one-time key broadcast, which `replicate_global` performs
+               at setup.
+      data  -- intra-host batch parallelism (ICI, no communication).
+      model -- intra-PBS sharding (KSK input dim + GGSW rows) with psum
+               reductions that stay inside a host's ICI domain because
+               "model" is the innermost (fastest-varying) axis.
+
+`collective_stats` proves the layout: it parses the compiled HLO and
+reports, per collective, the payload bytes and whether any replica group
+crosses a host boundary. The distributed-PBS step must report
+crosses_host=False for every per-step collective -- that is the whole
+DCN scaling argument (BASELINE's >=80% two-host efficiency follows from
+zero marginal DCN traffic; dispatch/keys are amortized).
+
+Run `scripts/multihost_dryrun.py` for the real 2-process execution
+(jax.distributed over a loopback coordinator, CPU devices), which
+decrypt-verifies every process-local output shard and records the
+MULTIHOST artifact.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: str, num_processes: int, process_id: int):
+    """jax.distributed bootstrap (idempotent). CPU-only processes work:
+    the coordinator is a TCP service, devices come from the local
+    platform (force n per host with xla_force_host_platform_device_count
+    BEFORE backend init)."""
+    from jax._src import distributed as _dist
+
+    # NOTE: must not touch jax.devices()/process_count() here -- any
+    # backend-initializing call before distributed.initialize raises
+    if _dist.global_state.client is not None:
+        return  # already initialized (idempotent re-entry)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_host_mesh(n_model: int = 1, devices=None) -> Mesh:
+    """("host", "data", "model") mesh: host = process boundary.
+
+    jax.devices() orders devices by process index, so a
+    (n_host, n_data, n_model) reshape puts each process's devices in one
+    host row and keeps "model" groups within a single process.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_host = max(jax.process_count(), 1)
+    n_local = len(devices) // n_host
+    assert n_local * n_host == len(devices)
+    assert n_local % n_model == 0, (n_local, n_model)
+    n_data = n_local // n_model
+    devs = np.array(devices).reshape(n_host, n_data, n_model)
+    return Mesh(devs, ("host", "data", "model"))
+
+
+def replicate_global(mesh: Mesh, tree: Any) -> Any:
+    """Per-process identical host values -> fully-replicated global arrays.
+
+    The one-time DCN cost of the layout: every process materializes the
+    same keys (deterministic seeded keygen), so "broadcast" is local
+    placement -- zero wire traffic even at setup.
+    """
+    def one(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(one, tree)
+
+
+def shard_batch_global(mesh: Mesh, local_batch: Any, n_model_axes: int = 0):
+    """Per-process local batch shard -> global array sharded over
+    ("host", "data") on axis 0. Each process contributes its own rows;
+    the global batch is the process-order concatenation."""
+    sh = NamedSharding(mesh, P(("host", "data")))
+    return jax.make_array_from_process_local_data(sh, np.asarray(local_batch))
+
+
+def make_multihost_pbs_step(mesh: Mesh, engine, ks_gadget, pbs_gadget,
+                            bsk_shift: int):
+    """The distributed PBS step over a ("host", "data", "model") mesh.
+
+    Identical math to parallel.sharded.make_sharded_pbs_step (KSK sharded
+    over its input dim, BSK over GGSW rows, psum over "model"), with the
+    ciphertext batch sharded over BOTH host and data axes. The "model"
+    psum replica groups stay inside one process (asserted by
+    collective_stats in the dryrun).
+    """
+    from tfhe_tpu.core.lwe import sample_extract
+    from tfhe_tpu.parallel.sharded import (
+        _blind_rotate_sharded,
+        _keyswitch_sharded,
+    )
+
+    def step(cts, lut, bsk_ntt, ksk_arr):
+        small = _keyswitch_sharded(cts, ksk_arr, ks_gadget, "model")
+        acc = _blind_rotate_sharded(
+            lut, small, bsk_ntt, pbs_gadget, engine, "model", shift=bsk_shift
+        )
+        return sample_extract(acc, 0)
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(("host", "data"), None),
+            P(None, None),
+            P(None, "model", None, None, None),
+            P("model", None, None),
+        ),
+        out_specs=P(("host", "data"), None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+_COLLECTIVE_RE = re.compile(
+    r"(\w[\w.\d]*)\s*=\s*(\w+)\[([^\]]*)\]\s*"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start)?\(",
+)
+_GROUPS_RE = re.compile(r"replica_groups=\{([^}]*)\}")
+_SHAPE_RE = re.compile(r"([a-z]+)(\d+)\[([\d,]*)\]")
+
+_DTYPE_BITS = {"pred": 8}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    m = _SHAPE_RE.match(shape_str.strip())
+    if not m:
+        return 0
+    kind, bits, dims = m.groups()
+    nbits = _DTYPE_BITS.get(kind + bits, int(bits))
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * nbits // 8
+
+
+def collective_stats(compiled_text: str, mesh: Mesh) -> list[dict]:
+    """Parse compiled HLO for collectives: payload bytes + whether any
+    replica group crosses a host (process) boundary.
+
+    Device ids are grouped by host via the mesh's device->process map.
+    The per-step DCN traffic of the layout is the sum of bytes over
+    entries with crosses_host=True -- the dryrun asserts it is ZERO.
+    """
+    dev_host = {d.id: d.process_index for d in mesh.devices.flat}
+    out = []
+    for line in compiled_text.splitlines():
+        m = _COLLECTIVE_RE.search(line)
+        if not m:
+            continue
+        op = m.group(4)
+        shape = m.group(2) + "[" + m.group(3) + "]"
+        nbytes = _shape_bytes(shape)
+        crosses = False
+        gm = _GROUPS_RE.search(line)
+        groups = gm.group(1) if gm else ""
+        for grp in re.findall(r"\{([\d,]*)\}", "{" + groups + "}"):
+            ids = [int(x) for x in grp.split(",") if x]
+            hosts = {dev_host.get(i, 0) for i in ids}
+            if len(hosts) > 1:
+                crosses = True
+        out.append(
+            {"op": op, "bytes": nbytes, "replica_groups": groups[:200],
+             "crosses_host": crosses}
+        )
+    return out
