@@ -71,6 +71,10 @@ class FheLinear:
         self.w = np.asarray(w_int, dtype=np.int64)  # (C, O)
         self.b = None if b_int is None else np.asarray(b_int, dtype=np.int64)
 
+    def clear_apply(self, v: np.ndarray) -> np.ndarray:
+        out = v @ self.w
+        return out if self.b is None else out + self.b
+
     def out_range(self, in_lo: int, in_hi: int) -> tuple[int, int]:
         wpos = np.maximum(self.w, 0).sum(axis=0)
         wneg = np.minimum(self.w, 0).sum(axis=0)
@@ -192,12 +196,79 @@ class FheSequential:
         v = np.asarray(x_q, dtype=np.int64)
         for layer in self.layers:
             if isinstance(layer, FheLinear):
-                v = v @ layer.w
-                if layer.b is not None:
-                    v = v + layer.b
+                v = layer.clear_apply(v)
             else:
                 v = np.vectorize(lambda t: int(layer.table_fn(t)) % space)(v)
         return v % space
+
+
+class FheConv2d(FheLinear):
+    """2-D convolution on ciphertexts: im2col GATHER of the input LWE
+    blocks into patches (free -- indexing, no crypto), then ONE exact
+    linear contraction of each patch against the (Cout, Cin*kh*kw)
+    kernel matrix. This is the MXU-native LWE form of the reference's
+    Conv lowering (quantized_ops.py QuantizedConv -> integer matmul):
+    the contraction is a single batched einsum over the patch axis
+    instead of conv2d_as_linear's sparse (Cin*H*W, Cout*oh*ow) matrix.
+
+    Input layout: the FheTensor's value axis is the flattened (Cin, H, W)
+    image; output value axis is flattened (Cout, oh, ow) -- the same
+    channel-major order conv2d_as_linear produces, so heads chain
+    identically."""
+
+    def __init__(self, w_int: np.ndarray, in_hw: tuple,
+                 b_int: np.ndarray | None = None, stride: int = 1):
+        cout, cin, kh, kw = np.asarray(w_int).shape
+        h, wdt = in_hw
+        oh = (h - kh) // stride + 1
+        ow = (wdt - kw) // stride + 1
+        self.wmat = np.asarray(w_int, np.int64).reshape(cout, cin * kh * kw)
+        self.out_hw = (oh, ow)
+        self.cout = cout
+        # gather map: patch p = (y, x) -> flat indices of its K inputs
+        idx = np.empty((oh * ow, cin * kh * kw), dtype=np.int64)
+        for y in range(oh):
+            for x in range(ow):
+                k = 0
+                for ci in range(cin):
+                    for dy in range(kh):
+                        for dx in range(kw):
+                            idx[y * ow + x, k] = (
+                                (ci * h + y * stride + dy) * wdt
+                                + x * stride + dx
+                            )
+                            k += 1
+        self.idx = idx
+        # per-output-channel bias broadcast over the oh*ow positions
+        self.b = None
+        if b_int is not None:
+            self.b = np.repeat(np.asarray(b_int, np.int64), oh * ow)
+
+    def clear_apply(self, v: np.ndarray) -> np.ndarray:
+        out = np.einsum("...lk,ok->...ol", v[..., self.idx], self.wmat)
+        out = out.reshape(*out.shape[:-2], -1)
+        return out if self.b is None else out + self.b
+
+    def out_range(self, in_lo: int, in_hi: int) -> tuple[int, int]:
+        wpos = np.maximum(self.wmat, 0).sum(axis=1)
+        wneg = np.minimum(self.wmat, 0).sum(axis=1)
+        lo = int((wneg * in_hi + wpos * in_lo).min())
+        hi = int((wpos * in_hi + wneg * in_lo).max())
+        if self.b is not None:
+            lo += int(self.b.min())
+            hi += int(self.b.max())
+        return lo, hi
+
+    def forward(self, x: FheTensor) -> tuple:
+        ct = jnp.asarray(x.ct, dtype=U64)  # (..., Cin*H*W, n+1)
+        patches = ct[..., jnp.asarray(self.idx), :]  # (..., L, K, n+1)
+        w_u = jnp.asarray(self.wmat.astype(np.uint64))  # (Cout, K)
+        acc = jnp.einsum("...lki,ok->...oli", patches, w_u)  # (..., Cout, L, n+1)
+        acc = acc.reshape(*acc.shape[:-3], -1, acc.shape[-1])
+        if self.b is not None:
+            enc_b = [(int(b) * x.params.delta) % (1 << 64) for b in self.b]
+            acc = acc.at[..., -1].add(jnp.asarray(enc_b, dtype=U64))
+        return acc
 
 
 def conv2d_as_linear(w: np.ndarray, in_hw: tuple, stride: int = 1) -> FheLinear:

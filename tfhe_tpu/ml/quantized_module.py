@@ -13,11 +13,16 @@ Execution modes (ml/common.FheMode, reference common/utils.py:64-104):
              up to ciphertext noise)
   SIMULATE - integer pipeline + analytic noise injection
   EXECUTE  - linear segments encrypted under the GLWE matmul engine;
-             TLUs are applied by the CLIENT between segments (the hybrid
-             split of torch/hybrid_model.py): ciphertexts are decrypted,
-             re-quantized, and the next segment re-encrypts. A fully
-             server-side TLU via programmable bootstrapping is available
-             through tfhe_tpu.models.shortint for <= 4-bit tables.
+             TLUs are applied by the CLIENT between segments -- this is
+             the HYBRID split (torch/hybrid_model.py), kept because the
+             wide-accumulator GLWE matmul admits 8-bit activations.
+
+The FULL-FHE execution path (every TLU a server-side programmable
+bootstrap, zero client nonlinearities -- the reference's EXECUTE
+semantics) is ml/fhe_pipeline.FheSequential; QAT graphs lower onto it
+via ml/qat_fhe.onnx_qat_to_fhe. The trade: fhe_pipeline's accumulators
+must fit the msg*carry space (few-bit weights), the hybrid path takes
+arbitrary 8-bit layers. Both run the same integer pipeline in DISABLE.
 """
 
 from __future__ import annotations
