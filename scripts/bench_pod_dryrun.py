@@ -35,8 +35,16 @@ def main():
     from tfhe_tpu.parallel import make_mesh, make_sharded_pbs_step
     from tfhe_tpu.rng import FheRng
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
-    P = tp.TOY_SHORTINT
+    # --full: PRODUCTION parameters (N=2048, n=880) on the virtual mesh
+    # (round-2 verdict weak #7: the TOY dryrun validates shape, not
+    # production shapes). Smaller batch keeps CPU execution tractable.
+    full = "--full" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else (64 if full else 10240)
+    P = (
+        tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+        if full else tp.TOY_SHORTINT
+    )
     n_data, n_model = 4, 2
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     ck, sk = si.keygen(P, seed=3)
@@ -56,6 +64,14 @@ def main():
         for name in ("all-reduce", "reduce-scatter", "all-gather",
                      "collective-permute", "all-to-all")
     }
+    # per-collective BYTE accounting (multihost.collective_stats parses
+    # payload shapes + replica groups from the compiled HLO)
+    from tfhe_tpu.parallel.multihost import collective_stats
+
+    stats = collective_stats(hlo, mesh)
+    bytes_by_op = {}
+    for s in stats:
+        bytes_by_op[s["op"]] = bytes_by_op.get(s["op"], 0) + s["bytes"]
 
     t0 = time.time()
     out = step(ct.ct, lut, sk.bsk.bsk_ntt, sk.ksk.ksk)
@@ -75,17 +91,22 @@ def main():
             "decrypt_verified": ok,
             "first_exec_s": round(dt, 1),
             "collectives_in_hlo": collectives,
+            "collective_bytes_per_step": bytes_by_op,
             "note": (
-                "TOY params on 8 virtual CPU devices: validates the 10k+ "
-                "batch SHAPE (sharding + collectives + numerics); chip "
-                "throughput is bench.py's metric"
+                ("PRODUCTION params (N=2048, n=880) on 8 virtual CPU "
+                 "devices: validates the real pipeline shapes end-to-end")
+                if full else
+                ("TOY params on 8 virtual CPU devices: validates the 10k+ "
+                 "batch SHAPE (sharding + collectives + numerics); chip "
+                 "throughput is bench.py's metric")
             ),
         },
     }
     assert ok, "sharded PBS decrypt mismatch"
     print(json.dumps(result))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_POD_DRYRUN.json"), "w") as fh:
+    name = "BENCH_POD_FULL.json" if full else "BENCH_POD_DRYRUN.json"
+    with open(os.path.join(root, name), "w") as fh:
         json.dump(result, fh, indent=1)
 
 

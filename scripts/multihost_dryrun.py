@@ -99,8 +99,10 @@ def worker(pid: int, addr: str, nprocs: int) -> None:
     jax.block_until_ready(out)
     wall = time.time() - t0
 
-    # decrypt-verify every shard THIS process owns
+    # decrypt-verify every shard THIS process owns ("model"-axis devices
+    # hold replicas of the same rows -- count unique rows once)
     n_checked = 0
+    seen = set()
     for sh in out.addressable_shards:
         sl = sh.index[0]
         dec = si.decrypt(
@@ -110,7 +112,9 @@ def worker(pid: int, addr: str, nprocs: int) -> None:
         )
         want = vals_global[sl]
         assert (np.asarray(dec) == want).all(), (pid, sl, np.asarray(dec), want)
-        n_checked += len(want)
+        if (sl.start, sl.stop) not in seen:
+            seen.add((sl.start, sl.stop))
+            n_checked += len(want)
 
     res = {
         "proc": pid,

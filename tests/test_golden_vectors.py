@@ -87,11 +87,11 @@ def test_fhevm_param_constants_pinned():
     assert PF.polynomial_size == VEC["fhevm_params"]["N"]
 
 
-@pytest.mark.slow
 def test_full_params_pbs_decrypt():
-    """One shortint op chain at the FULL fhevm parameter set on CPU
-    (the slow tier the round-1 verdict asked for: CPU tests otherwise
-    never touch production noise margins)."""
+    """One shortint op chain at the FULL fhevm parameter set on CPU.
+    In the DEFAULT gate (round-2 verdict weak #5: production noise
+    margins must be exercised on every run, not only under RUN_SLOW) --
+    ~73 s on CPU, the one deliberately slow default-tier test."""
     P = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
     ck, sk = si.keygen(P, seed=1)
     rng = FheRng(2)

@@ -138,28 +138,57 @@ def make_multihost_pbs_step(mesh: Mesh, engine, ks_gadget, pbs_gadget,
     return jax.jit(sharded)
 
 
+# HLO instruction names may carry %-prefixes and hyphens
+# ("%all-reduce.5 = u64[...] all-reduce(..)"); shapes may be tuples.
 _COLLECTIVE_RE = re.compile(
-    r"(\w[\w.\d]*)\s*=\s*(\w+)\[([^\]]*)\]\s*"
+    r"=\s*(\(?[\w\[\],{}()\s]*?)\s*"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(",
+    r"(-start|-done)?\(",
 )
-_GROUPS_RE = re.compile(r"replica_groups=\{([^}]*)\}")
+_GROUPS_EXPLICIT_RE = re.compile(r"replica_groups=\{(\{[\d,]*\}(?:,\{[\d,]*\})*)\}")
+_GROUPS_IOTA_RE = re.compile(
+    r"replica_groups=\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?"
+)
 _SHAPE_RE = re.compile(r"([a-z]+)(\d+)\[([\d,]*)\]")
 
 _DTYPE_BITS = {"pred": 8}
 
 
 def _shape_bytes(shape_str: str) -> int:
-    m = _SHAPE_RE.match(shape_str.strip())
-    if not m:
-        return 0
-    kind, bits, dims = m.groups()
-    nbits = _DTYPE_BITS.get(kind + bits, int(bits))
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * nbits // 8
+    """Sum payload bytes over every array in the (possibly tuple) shape."""
+    total = 0
+    for kind, bits, dims in _SHAPE_RE.findall(shape_str):
+        nbits = _DTYPE_BITS.get(kind + bits, int(bits))
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * nbits // 8
+    return total
+
+
+def _replica_groups(line: str) -> tuple[str, list[list[int]]]:
+    """Parse replica groups in either explicit ({{0,1},{2,3}}) or iota
+    ([G,S]<=[dims]T(perm)) HLO syntax into explicit device-id lists."""
+    gm = _GROUPS_EXPLICIT_RE.search(line)
+    if gm:
+        txt = gm.group(1)
+        groups = [
+            [int(x) for x in grp.split(",") if x]
+            for grp in re.findall(r"\{([\d,]*)\}", txt)
+        ]
+        return txt, groups
+    im = _GROUPS_IOTA_RE.search(line)
+    if im:
+        g, s = int(im.group(1)), int(im.group(2))
+        dims = [int(x) for x in im.group(3).split(",")]
+        ids = np.arange(int(np.prod(dims))).reshape(dims)
+        if im.group(4):
+            perm = [int(x) for x in im.group(4).split(",")]
+            ids = ids.transpose(perm)
+        groups = ids.reshape(g, s).tolist()
+        return im.group(0)[len("replica_groups="):], groups
+    return "", []
 
 
 def collective_stats(compiled_text: str, mesh: Mesh) -> list[dict]:
@@ -176,14 +205,13 @@ def collective_stats(compiled_text: str, mesh: Mesh) -> list[dict]:
         m = _COLLECTIVE_RE.search(line)
         if not m:
             continue
-        op = m.group(4)
-        shape = m.group(2) + "[" + m.group(3) + "]"
-        nbytes = _shape_bytes(shape)
+        op = m.group(2)
+        if m.group(3) == "-done":
+            continue  # -done halves of async pairs carry no new payload
+        nbytes = _shape_bytes(m.group(1))
         crosses = False
-        gm = _GROUPS_RE.search(line)
-        groups = gm.group(1) if gm else ""
-        for grp in re.findall(r"\{([\d,]*)\}", "{" + groups + "}"):
-            ids = [int(x) for x in grp.split(",") if x]
+        groups, group_ids = _replica_groups(line)
+        for ids in group_ids:
             hosts = {dev_host.get(i, 0) for i in ids}
             if len(hosts) > 1:
                 crosses = True
