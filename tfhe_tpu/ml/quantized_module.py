@@ -35,6 +35,7 @@ import numpy as np
 from tfhe_tpu.ml.common import FheMode
 from tfhe_tpu.ml.linear import GlweLinearLayerExecutor
 from tfhe_tpu.ml.quantization import UniformQuantizer
+from tfhe_tpu.ml.serialization import serializable
 
 
 # -- quantized ops -----------------------------------------------------------
@@ -54,6 +55,7 @@ class QuantizedOp:
 
 
 @dataclasses.dataclass
+@serializable
 class QuantizedGemm(QuantizedOp):
     """x @ W + b on the encrypted GLWE matmul engine (reference
     quantized_ops.py QuantizedGemm -> linear_op_glwe_backend)."""
@@ -82,8 +84,16 @@ class QuantizedGemm(QuantizedOp):
         out = self._exec.forward(x.reshape(-1, x.shape[-1]), fhe=fhe)
         return out.reshape(*b, -1)
 
+    def dump_dict(self):
+        return {"weights": self.weights, "bias": self.bias, "n_bits": self.n_bits}
+
+    @classmethod
+    def load_dict(cls, d):
+        return cls(weights=d["weights"], bias=d["bias"], n_bits=d["n_bits"])
+
 
 @dataclasses.dataclass
+@serializable
 class QuantizedConv(QuantizedOp):
     """2-D convolution lowered to im2col + Gemm: the MXU-native form (the
     reference lowers Conv to the same integer matmul semantics,
@@ -136,8 +146,20 @@ class QuantizedConv(QuantizedOp):
         o = out.shape[-1]
         return out.reshape(b, oh, ow, o).transpose(0, 3, 1, 2)
 
+    def dump_dict(self):
+        return {"weights": self.weights, "bias": self.bias,
+                "stride": self.stride, "padding": self.padding,
+                "n_bits": self.n_bits}
+
+    @classmethod
+    def load_dict(cls, d):
+        return cls(weights=d["weights"], bias=d["bias"],
+                   stride=tuple(d["stride"]), padding=tuple(d["padding"]),
+                   n_bits=d["n_bits"])
+
 
 @dataclasses.dataclass
+@serializable
 class QuantizedTLU(QuantizedOp):
     """Elementwise nonlinearity as an n_bits-wide table lookup (the
     reference fuses all elementwise ops between linear layers into one
@@ -176,11 +198,55 @@ class QuantizedTLU(QuantizedOp):
         table = self.fn(self._q.dequant(levels))
         return table[(xq - self._q.qmin).astype(np.int64)]
 
+    def dump_dict(self):
+        d = {"name": self.name, "n_bits": self.n_bits,
+             "p_error": self.p_error, "q": self._q}
+        if self.name not in _TORCH_TLUS:
+            # anonymous callable: serialize the BAKED table over the
+            # calibrated levels (exactly what the PBS would evaluate);
+            # requires calibration first
+            assert self._q is not None, (
+                f"TLU {self.name!r} is not a registry function; calibrate "
+                "before dumping so the table can be baked")
+            levels = np.arange(self._q.qmin, self._q.qmax + 1)
+            d["baked_inputs"] = self._q.dequant(levels)
+            d["baked_table"] = np.asarray(self.fn(d["baked_inputs"]), np.float64)
+        return d
+
+    @classmethod
+    def load_dict(cls, d):
+        if d["name"] in _TORCH_TLUS:
+            fn = _TORCH_TLUS[d["name"]]
+        else:
+            xs = d["baked_inputs"]
+            ys = d["baked_table"]
+
+            def fn(v, xs=xs, ys=ys):
+                # nearest-level lookup: exact on the quantized grid
+                idx = np.clip(np.searchsorted(xs, v), 0, len(xs) - 1)
+                lo = np.clip(idx - 1, 0, len(xs) - 1)
+                use_lo = np.abs(v - xs[lo]) <= np.abs(xs[idx] - v)
+                return ys[np.where(use_lo, lo, idx)]
+
+        op = cls(fn=fn, name=d["name"], n_bits=d["n_bits"], p_error=d["p_error"])
+        op._q = d["q"]
+        return op
+
 
 @dataclasses.dataclass
+@serializable
 class QuantizedAvgPool(QuantizedOp):
     kernel: tuple = (2, 2)
     stride: tuple | None = None
+
+    def dump_dict(self):
+        return {"kernel": self.kernel, "stride": self.stride}
+
+    @classmethod
+    def load_dict(cls, d):
+        s = d["stride"]
+        return cls(kernel=tuple(d["kernel"]),
+                   stride=None if s is None else tuple(s))
 
     def calibrate(self, x):
         return self.forward(x, FheMode.DISABLE)
@@ -201,7 +267,15 @@ class QuantizedAvgPool(QuantizedOp):
 
 
 @dataclasses.dataclass
+@serializable
 class QuantizedFlatten(QuantizedOp):
+    def dump_dict(self):
+        return {}
+
+    @classmethod
+    def load_dict(cls, d):
+        return cls()
+
     def calibrate(self, x):
         return x.reshape(x.shape[0], -1)
 
@@ -212,6 +286,7 @@ class QuantizedFlatten(QuantizedOp):
 # -- module ------------------------------------------------------------------
 
 
+@serializable
 class QuantizedModule:
     """Ordered quantized op pipeline with input/output quantizers
     (reference quantized_module.py QuantizedModule: quantize_input :
@@ -257,6 +332,21 @@ class QuantizedModule:
         return x
 
     __call__ = forward
+
+    def dump_dict(self):
+        return {"ops": list(self.ops), "n_bits": self.n_bits,
+                "input_quantizer": self.input_quantizer}
+
+    @classmethod
+    def load_dict(cls, d):
+        qm = cls(d["ops"], n_bits=d["n_bits"])
+        qm.input_quantizer = d["input_quantizer"]
+        return qm
+
+    def dumps(self) -> str:
+        from tfhe_tpu.ml import serialization
+
+        return serialization.dumps(self)
 
 
 # -- torch frontend ------------------------------------------------------------

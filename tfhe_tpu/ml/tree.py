@@ -20,8 +20,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from tfhe_tpu.ml.base import SklearnEstimatorMixin
 from tfhe_tpu.ml.common import FheMode
 from tfhe_tpu.ml.linear import GlweLinearLayerExecutor
+from tfhe_tpu.ml.serialization import serializable
 from tfhe_tpu.ml.quantization import UniformQuantizer
 
 
@@ -81,13 +83,15 @@ class _LoweredTree:
                 self.v[k, : len(vals)] = vals
 
 
-class _TreeEnsembleBase:
+class _TreeEnsembleBase(SklearnEstimatorMixin):
     """Shared FHE inference over lowered trees. The two GEMM stages run
     on GlweLinearLayerExecutors; step/equality are exact small TLUs."""
 
     sklearn_cls = None
     is_classifier = True
     normalize_leaves = True  # counts -> per-tree probabilities (DT/RF)
+    _kwargs_attr = "sk_kwargs"
+    _serial_attrs = ("_a", "_thr", "_b", "_c", "_v", "_n_trees")
 
     def __init__(self, n_bits: int = 6, **sk_kwargs):
         self.n_bits = n_bits
@@ -150,6 +154,11 @@ class _TreeEnsembleBase:
             self._b[io : io + t.n_internal, lo : lo + t.n_leaves] = t.b
             io += t.n_internal
             lo += t.n_leaves
+        self._n_trees = len(self._trees)
+        self._build_execs()
+        return self
+
+    def _build_execs(self):
         self._exec_a = GlweLinearLayerExecutor(
             weights=self._a, bias=None, n_bits_in=self.n_bits, n_bits_w=2,
             exact_int_weights=True,
@@ -158,7 +167,10 @@ class _TreeEnsembleBase:
             weights=self._b, bias=None, n_bits_in=2, n_bits_w=2,
             exact_int_weights=True,
         )
-        return self
+
+    def _post_load(self):
+        if hasattr(self, "_a"):
+            self._build_execs()
 
     def compile(self, seed: int = 0):
         self._exec_a.keygen(seed)
@@ -188,12 +200,11 @@ class _TreeEnsembleBase:
         out = self._raw_predict(X, fhe)
         if self.is_classifier:
             return self.classes_[np.argmax(out, axis=1)]
-        n = len(self._trees)
-        return out[:, 0] / max(n, 1)
+        return out[:, 0] / max(self._n_trees, 1)
 
     def predict_proba(self, X, fhe: FheMode | str = FheMode.DISABLE):
         assert self.is_classifier
-        out = self._raw_predict(X, fhe) / max(len(self._trees), 1)
+        out = self._raw_predict(X, fhe) / max(self._n_trees, 1)
         tot = out.sum(axis=1, keepdims=True)
         tot = np.where(tot == 0, 1.0, tot)
         return out / tot
@@ -208,6 +219,7 @@ def _skl():
 _sk_tree, _sk_ens = _skl()
 
 
+@serializable
 class DecisionTreeClassifier(_TreeEnsembleBase):
     """Reference sklearn/tree.py DecisionTreeClassifier."""
 
@@ -215,6 +227,7 @@ class DecisionTreeClassifier(_TreeEnsembleBase):
     is_classifier = True
 
 
+@serializable
 class DecisionTreeRegressor(_TreeEnsembleBase):
     sklearn_cls = _sk_tree.DecisionTreeRegressor
     is_classifier = False
@@ -223,6 +236,7 @@ class DecisionTreeRegressor(_TreeEnsembleBase):
         return self._raw_predict(X, fhe)[:, 0]
 
 
+@serializable
 class RandomForestClassifier(_TreeEnsembleBase):
     """Reference sklearn/rf.py RandomForestClassifier."""
 
@@ -234,11 +248,13 @@ class RandomForestClassifier(_TreeEnsembleBase):
         return out  # class-count votes across trees accumulate naturally
 
 
+@serializable
 class RandomForestRegressor(_TreeEnsembleBase):
     sklearn_cls = _sk_ens.RandomForestRegressor
     is_classifier = False
 
 
+@serializable
 class XGBClassifier(_TreeEnsembleBase):
     """Gradient-boosted classifier (reference sklearn/xgb.py wraps
     xgboost; gradient-boosting semantics via sklearn's implementation;
@@ -253,12 +269,12 @@ class XGBClassifier(_TreeEnsembleBase):
         super().fit(X, y)
         X = np.asarray(X, np.float64)
         # GBT trees are per-stage-per-class: n_outputs follows stages
-        lr = self.sk_model.learning_rate
+        lr = self.learning_rate_ = self.sk_model.learning_rate
         df = self.sk_model.decision_function(X[:16])
         if df.ndim == 1:
             df = df[:, None]
         mine = self._leaf_sum(X[:16]) * lr
-        self._link_offset = (df - mine).mean(axis=0)
+        self.link_offset_ = (df - mine).mean(axis=0)
         return self
 
     def _leaf_sum(self, X):
@@ -270,7 +286,7 @@ class XGBClassifier(_TreeEnsembleBase):
     def decision_function(self, X, fhe: FheMode | str = FheMode.DISABLE):
         raw = _TreeEnsembleBase._raw_predict(self, X, fhe)
         k = 1 if len(self.classes_) == 2 else len(self.classes_)
-        return raw[:, :k] * self.sk_model.learning_rate + self._link_offset
+        return raw[:, :k] * self.learning_rate_ + self.link_offset_
 
     def predict_proba(self, X, fhe: FheMode | str = FheMode.DISABLE):
         z = self.decision_function(X, fhe)
@@ -284,6 +300,7 @@ class XGBClassifier(_TreeEnsembleBase):
         return self.classes_[np.argmax(self.predict_proba(X, fhe), axis=1)]
 
 
+@serializable
 class XGBRegressor(_TreeEnsembleBase):
     sklearn_cls = _sk_ens.GradientBoostingRegressor
     is_classifier = False
@@ -292,13 +309,13 @@ class XGBRegressor(_TreeEnsembleBase):
     def fit(self, X, y):
         super().fit(X, y)
         X = np.asarray(X, np.float64)
-        lr = self.sk_model.learning_rate
+        lr = self.learning_rate_ = self.sk_model.learning_rate
         mine = _TreeEnsembleBase._raw_predict(self, X[:16], FheMode.DISABLE)[:, 0]
-        self._link_offset = float(
+        self.link_offset_ = float(
             (self.sk_model.predict(X[:16]) - mine * lr).mean()
         )
         return self
 
     def predict(self, X, fhe: FheMode | str = FheMode.DISABLE):
         raw = self._raw_predict(X, fhe)[:, 0]
-        return raw * self.sk_model.learning_rate + self._link_offset
+        return raw * self.learning_rate_ + self.link_offset_

@@ -15,16 +15,21 @@ from __future__ import annotations
 
 import numpy as np
 
+from tfhe_tpu.ml.base import SklearnEstimatorMixin
 from tfhe_tpu.ml.common import FheMode
 from tfhe_tpu.ml.linear import GlweLinearLayerExecutor
+from tfhe_tpu.ml.serialization import serializable
 from tfhe_tpu.ml.sklearn import _LinearBase
 
 
 # -- SVM -----------------------------------------------------------------------
 
 
+@serializable
 class LinearSVC(_LinearBase):
     """Reference sklearn/svm.py LinearSVC: sklearn-fit, FHE linear predict."""
+
+    _kwargs_attr = "sk_kwargs"
 
     def __init__(self, n_bits: int = 8, params=None, **sk_kwargs):
         super().__init__(n_bits, params)
@@ -49,7 +54,10 @@ class LinearSVC(_LinearBase):
         return self.classes_[np.argmax(z, axis=1)]
 
 
+@serializable
 class LinearSVR(_LinearBase):
+    _kwargs_attr = "sk_kwargs"
+
     def __init__(self, n_bits: int = 8, params=None, **sk_kwargs):
         super().__init__(n_bits, params)
         self.sk_kwargs = sk_kwargs
@@ -73,6 +81,7 @@ class LinearSVR(_LinearBase):
 class _GlmBase(_LinearBase):
     sk_cls_path: tuple[str, str] = ("", "")
     link_inv = staticmethod(np.exp)
+    _kwargs_attr = "sk_kwargs"
 
     def __init__(self, n_bits: int = 8, params=None, **sk_kwargs):
         super().__init__(n_bits, params)
@@ -95,14 +104,17 @@ class _GlmBase(_LinearBase):
         return self.link_inv(self._linear(X, fhe)[:, 0])
 
 
+@serializable
 class PoissonRegressor(_GlmBase):
     sk_cls_path = ("sklearn.linear_model", "PoissonRegressor")
 
 
+@serializable
 class GammaRegressor(_GlmBase):
     sk_cls_path = ("sklearn.linear_model", "GammaRegressor")
 
 
+@serializable
 class TweedieRegressor(_GlmBase):
     sk_cls_path = ("sklearn.linear_model", "TweedieRegressor")
 
@@ -118,7 +130,8 @@ class TweedieRegressor(_GlmBase):
 # -- KNN -------------------------------------------------------------------------
 
 
-class KNeighborsClassifier:
+@serializable
+class KNeighborsClassifier(SklearnEstimatorMixin):
     """Reference sklearn/neighbors.py KNeighborsClassifier: encrypted
     distance computation. ||x - c||^2 = ||x||^2 - 2 c.x + ||c||^2: the
     cross term (the only part needing the encrypted input) is a linear
@@ -131,11 +144,26 @@ class KNeighborsClassifier:
         self.n_bits = n_bits
         self.params = params
 
+    @property
+    def n_neighbors(self):  # sklearn-name alias for get_params
+        return self.k
+
+    @n_neighbors.setter
+    def n_neighbors(self, v):
+        self.k = v
+
+    _serial_attrs = ("_train", "_labels")
+
     def fit(self, X, y):
         X = np.asarray(X, np.float64)
         self._train = X
         self._labels = np.asarray(y)
         self.classes_ = np.unique(y)
+        self._build_exec()
+        return self
+
+    def _build_exec(self):
+        X = self._train
         self._exec = GlweLinearLayerExecutor(
             weights=-2.0 * X.T,  # (features, n_train)
             bias=(X**2).sum(axis=1),
@@ -143,7 +171,10 @@ class KNeighborsClassifier:
             n_bits_w=self.n_bits,
             params=self.params,
         )
-        return self
+
+    def _post_load(self):
+        if hasattr(self, "_train"):
+            self._build_exec()
 
     def compile(self, seed: int = 0):
         self._exec.keygen(seed)
@@ -172,6 +203,7 @@ class KNeighborsClassifier:
 # -- SGDClassifier with FHE-executed training -----------------------------------
 
 
+@serializable
 class SGDClassifier(_LinearBase):
     """Binary logistic SGD where the per-step gradient matmuls can run
     under FHE (reference linear_model.py SGDClassifier +
@@ -251,7 +283,8 @@ class SGDClassifier(_LinearBase):
 # -- QNN (torch-trained MLP compiled to the quantized pipeline) -------------------
 
 
-class NeuralNetClassifier:
+@serializable
+class NeuralNetClassifier(SklearnEstimatorMixin):
     """Reference sklearn/qnn.py NeuralNetClassifier: a small torch MLP
     trained in the clear, compiled with compile_torch_model for FHE
     inference."""
@@ -270,6 +303,8 @@ class NeuralNetClassifier:
         self.lr = lr
         self.activation = activation
         self._qm = None
+
+    _serial_attrs = ("_qm",)
 
     def _build_torch(self, n_in, n_out):
         import torch.nn as nn
@@ -318,6 +353,7 @@ class NeuralNetClassifier:
         return self.classes_[np.argmax(self.predict_proba(X, fhe), axis=1)]
 
 
+@serializable
 class NeuralNetRegressor(NeuralNetClassifier):
     def fit(self, X, y):
         import torch
