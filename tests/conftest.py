@@ -21,9 +21,32 @@ import jax
 # override it back to CPU before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Drop the axon backend factory entirely: with the TPU tunnel down,
+# initializing it blocks forever inside make_c_api_client (the register
+# hook walks backends(), which would init every registered platform),
+# hanging the whole suite. The suite is CPU-only by design.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+
 # Persistent compilation cache: PBS programs recompile identically across
-# test runs; caching them cuts suite time substantially.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache")
+# test runs; caching them cuts suite time substantially. The dir is keyed
+# by the host CPU flags: XLA:CPU AOT results baked on one machine fail to
+# load (or worse, SIGILL) on a host with different vector extensions, and
+# the runner migrates across machines between rounds.
+def _host_cache_dir() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig = next(l for l in f if l.startswith("flags"))
+    except (OSError, StopIteration):
+        sig = platform.machine()
+    return "/tmp/tfhe_tpu_jax_cache_" + hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
+jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

@@ -2,8 +2,9 @@
 (tests/fhevm-suite/e2e/test/fhevmOperations/fhevmOperations1-13.ts,
 manual.ts) re-expressed as batched sweeps.
 
-Coverage: all binary/compare ops x widths 8/16 (32/64 + sampled 128/256
-in the slow tier) x {enc-enc, scalar-left, scalar-right}, shift/rotate
+Coverage: all binary/compare ops x widths 8/16/32/64 in the DEFAULT
+gate (sampled 128/256 in the slow tier) x {enc-enc, scalar-left,
+scalar-right}, shift/rotate
 edge amounts (0, bits-1, >= bits wrap), div/rem incl. the tfhe-rs
 division-by-zero semantics, overflow edges (0, max, max-1), the full
 ebool truth tables incl. scalar variants, casts across widths, and

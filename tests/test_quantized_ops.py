@@ -14,22 +14,26 @@ rng = np.random.default_rng(2)
 
 @pytest.mark.parametrize("name", sorted(qo.UNIVARIATE_OPS))
 def test_univariate_table_matches_fn(name):
+    import zlib
+
     op = qo.make_univariate(name, n_bits=8)
-    # per-op rng (stream independent of the zoo's size); discontinuous /
-    # singular ops (Not, Sign, Reciprocal) keep inputs off the jump at 0
-    # where a quantization bucket legitimately straddles the edge
-    op_rng = np.random.default_rng(abs(hash(name)) % 2**31)
+    # per-op rng with a STABLE hash (hash() is PYTHONHASHSEED-randomized
+    # per process and made this test flaky at discontinuities);
+    # singular ops (Not, Reciprocal) keep inputs off the pole at 0
+    op_rng = np.random.default_rng(zlib.crc32(name.encode()) % 2**31)
     x = op_rng.normal(0, 2, (4, 8))
-    if name in ("Not", "Sign", "Reciprocal"):
+    if name in ("Not", "Reciprocal"):
         x = np.where(np.abs(x) < 0.5, 1.0 + np.abs(x), x)
     ref = qo.UNIVARIATE_OPS[name](x)
     got = op.forward(x, FheMode.DISABLE)
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
-    # quantized (simulate) path stays within one quantization step
+    # quantized (simulate) path: the table is EXACTLY the fn evaluated
+    # on the calibrated grid -- compare on that grid, which is immune to
+    # inputs straddling a discontinuity (Floor/Sign/steps)
     op.calibrate(x)
     got_q = op.forward(x, FheMode.SIMULATE)
-    span = float(np.max(np.abs(ref))) or 1.0
-    assert np.max(np.abs(got_q - ref)) <= span * 0.05 + 0.05
+    ref_q = qo.UNIVARIATE_OPS[name](op._q.dequant(op._q.quant(x)))
+    np.testing.assert_allclose(got_q, ref_q, rtol=1e-9, atol=1e-9)
 
 
 @pytest.mark.parametrize("name,kw", [

@@ -88,6 +88,60 @@ class HybridFHEModel:
     __call__ = forward
 
 
+def serve_hybrid_model(model, module_names: Iterable[str], model_name: str,
+                       server, params=None) -> None:
+    """Server side of the hybrid deployment: register every named
+    nn.Linear of `model` with a HybridFHEModelServer (reference
+    hybrid_model.py:379 compile_model + :821 server registry). The
+    weights live only on the server after this. `params` picks the
+    GLWE matmul parameter set (default: production)."""
+    import torch
+
+    for name in module_names:
+        parent, attr = HybridFHEModel._locate(model, name)
+        lin = getattr(parent, attr)
+        assert isinstance(lin, torch.nn.Linear), f"{name} is not Linear"
+        server.register(model_name, name, lin, params=params)
+
+
+class RemoteHybridModel:
+    """Client half: a torch model whose named linear layers are executed
+    REMOTELY over a transport (reference RemoteModule,
+    hybrid_model.py:122: activations encrypted client-side, weights never
+    leave the server). The local copies of the swapped layers are
+    discarded -- their parameters are irrelevant."""
+
+    def __init__(self, model, module_names: Iterable[str], model_name: str,
+                 transport, key_seed: int = 0):
+        import torch
+
+        from tfhe_tpu.ml.hybrid_server import RemoteModule
+
+        self.model = model
+        self.remotes: dict[str, RemoteModule] = {}
+        for name in module_names:
+            parent, attr = HybridFHEModel._locate(model, name)
+            remote = RemoteModule(transport, model_name, name, key_seed=key_seed)
+            self.remotes[name] = remote
+
+            class _RemoteShim(torch.nn.Module):
+                def __init__(self, r):
+                    super().__init__()
+                    self._remote = r
+
+                def forward(self, x):
+                    xp = x.detach().cpu().numpy()
+                    y = self._remote.forward(xp)
+                    return torch.from_numpy(np.ascontiguousarray(y)).to(x.dtype)
+
+            setattr(parent, attr, _RemoteShim(remote))
+
+    def forward(self, x):
+        return self.model(x)
+
+    __call__ = forward
+
+
 def _TorchShim(fhe_linear: _FheLinear):
     """nn.Module wrapper so the swapped layer composes inside Sequential,
     state traversal, etc."""

@@ -377,15 +377,50 @@ def _fold_eval(node: OnnxNode, ins: list[np.ndarray]):
         lo = float(ins[1]) if len(ins) > 1 else -3.4e38
         hi = float(ins[2]) if len(ins) > 2 else 3.4e38
         return np.clip(np.asarray(a, np.float64), lo, hi)
+    if t == "ConstantOfShape":
+        fill = node.attrs.get("value")
+        v = float(np.asarray(fill.data).reshape(-1)[0]) if fill is not None else 0.0
+        return np.full([int(s) for s in np.asarray(a).reshape(-1)], v)
+    if t == "Equal":
+        return np.asarray(a) == np.asarray(ins[1])
+    if t == "Where":
+        return np.where(np.asarray(a, bool), ins[1], ins[2])
+    if t == "Expand":
+        return np.broadcast_to(
+            a, np.broadcast_shapes(
+                np.shape(a), tuple(int(s) for s in np.asarray(ins[1]).reshape(-1))
+            )
+        ).copy()
+    if t == "Range":
+        return np.arange(float(ins[0]), float(ins[1]), float(ins[2]))
     return None  # not foldable
 
 
 def const_fold(g: OnnxGraph) -> OnnxGraph:
     """Evaluate nodes whose inputs are all initializers; their outputs
-    join g.initializers and the nodes are dropped."""
+    join g.initializers and the nodes are dropped. `Constant` NODES
+    (the torchscript exporter emits them instead of initializers)
+    become initializers first."""
     inits = dict(g.initializers)
     kept = []
     for node in g.nodes:
+        if node.op_type == "Constant" and not node.inputs:
+            v = None
+            for key, av in node.attrs.items():
+                if key == "value" and isinstance(av, OnnxTensor):
+                    v = np.asarray(av.data)
+                elif key in ("value_float", "value_int"):
+                    v = np.asarray(av)
+                elif key in ("value_floats", "value_ints"):
+                    v = np.asarray(list(av))
+            if v is None:
+                raise NotImplementedError(
+                    f"Constant node without supported value attr: {node.attrs}"
+                )
+            inits[node.outputs[0]] = OnnxTensor(
+                name=node.outputs[0], dims=np.shape(v), data=v
+            )
+            continue
         if node.inputs and all(i in inits for i in node.inputs if i):
             ins = [np.asarray(inits[i].data) for i in node.inputs if i]
             val = _fold_eval(node, ins)
@@ -423,8 +458,14 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
     quantization/qat_quantizers.py); on WEIGHTS they constant-fold so
     linear ops consume the exact dequantized integer grid."""
     g = const_fold(g)
-    assert len(g.inputs) == 1, f"expected one graph input, got {g.inputs}"
-    name_to_id: dict[str, object] = {g.inputs[0]: "input"}
+    assert g.inputs, "graph has no inputs"
+    # input i binds to id "input" (i=0, compat) / "input:i" (i>0) --
+    # multi-input graphs (reference pytest MultiInputNN family) forward
+    # with a tuple of arrays
+    name_to_id: dict[str, object] = {
+        nm: ("input" if i == 0 else f"input:{i}")
+        for i, nm in enumerate(g.inputs)
+    }
     nodes: list[qo.GraphNode] = []
     qdq_ids: set = set()  # node ids produced by QuantizeLinear
     input_qdq: list = []  # fixed quantizer of the graph input, if QAT
@@ -540,7 +581,16 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
                 tuple(resolve(i) for i in node.inputs),
             )
         elif op_t == "ReduceSum":
-            axis = node.attrs.get("axes", [-1])
+            # opset >= 13: axes arrive as a (constant) second input
+            axis = node.attrs.get("axes")
+            if axis is None and len(node.inputs) > 1 and node.inputs[1]:
+                axis = [
+                    int(v)
+                    for v in np.asarray(
+                        g.initializers[node.inputs[1]].data
+                    ).reshape(-1)
+                ]
+            axis = axis or [-1]
             out = add(
                 qo.QuantizedReduceSum(
                     axis=int(axis[0]),
@@ -556,18 +606,33 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
                 (resolve(node.inputs[0]),),
             )
         elif op_t == "Gather":
-            if node.inputs[1] not in g.initializers:
+            if node.inputs[1] in g.initializers:
+                idx = np.asarray(g.initializers[node.inputs[1]].data, np.int64)
+                out = add(
+                    qo.QuantizedGather(
+                        indices=idx, axis=int(node.attrs.get("axis", 0))
+                    ),
+                    (resolve(node.inputs[0]),),
+                )
+            elif node.inputs[0] in g.initializers:
+                # embedding form: CONSTANT table, CLEAR graph-input
+                # indices (reference EmbeddingModel: the lookup runs in
+                # the clear quantized graph; only downstream math is
+                # encrypted). Encrypted-INDEX gather stays unsupported.
+                table = np.asarray(
+                    g.initializers[node.inputs[0]].data, np.float64
+                )
+                out = add(
+                    qo.QuantizedEmbedding(
+                        table=table, axis=int(node.attrs.get("axis", 0))
+                    ),
+                    (resolve(node.inputs[1]),),
+                )
+            else:
                 raise NotImplementedError(
                     "Gather with encrypted (non-constant) indices cannot "
                     "be evaluated under FHE"
                 )
-            idx = np.asarray(g.initializers[node.inputs[1]].data, np.int64)
-            out = add(
-                qo.QuantizedGather(
-                    indices=idx, axis=int(node.attrs.get("axis", 0))
-                ),
-                (resolve(node.inputs[0]),),
-            )
         elif op_t == "Slice":
             def _c(i, default=None):
                 if len(node.inputs) > i and node.inputs[i]:
@@ -780,9 +845,13 @@ def compile_qat_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0):
     return qm
 
 
-def compile_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0):
+def compile_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0,
+                       keygen: bool = True, params=None):
     """The reference compile_onnx_model entry (compile.py:369): parse,
-    lower, calibrate, keygen. `model` is a path or ModelProto bytes."""
+    lower, calibrate, keygen. `model` is a path or ModelProto bytes.
+    keygen=False skips FHE key generation (DISABLE/SIMULATE-only use;
+    call .compile() before fhe='execute'). `params` overrides the GLWE
+    matmul parameter set for the linear nodes."""
     if isinstance(model, (str, bytes)) and not (
         isinstance(model, bytes) and model[:1] != b"\x08" and False
     ):
@@ -791,6 +860,15 @@ def compile_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0):
         raise TypeError("model must be a path or serialized ModelProto bytes")
     g = parse_model(data)
     qm = graph_to_module(g, n_bits=n_bits)
-    qm.calibrate(np.asarray(x_cal, np.float64))
-    qm.compile(seed=seed)
+    qm.calibrate(_cal_inputs(x_cal))
+    if keygen:
+        qm.compile(seed=seed, params=params)
     return qm
+
+
+def _cal_inputs(x_cal):
+    """Calibration data: one array, or a tuple of arrays for multi-input
+    graphs (kept as-is for QuantizedGraphModule.calibrate)."""
+    if isinstance(x_cal, (tuple, list)):
+        return tuple(np.asarray(v, np.float64) for v in x_cal)
+    return np.asarray(x_cal, np.float64)

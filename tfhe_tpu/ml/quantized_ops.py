@@ -170,7 +170,12 @@ class QuantizedExpand(QuantizedOp):
         return self.forward(x, FheMode.DISABLE)
 
     def forward(self, x, fhe):
-        return np.broadcast_to(np.asarray(x), self.shape).copy()
+        # ONNX Expand: two-way broadcast (1s in the requested shape keep
+        # the data's dimension -- np.broadcast_to alone is one-way)
+        x = np.asarray(x)
+        return np.broadcast_to(
+            x, np.broadcast_shapes(x.shape, tuple(self.shape))
+        ).copy()
 
 
 @dataclasses.dataclass
@@ -434,6 +439,23 @@ class QuantizedGather(QuantizedOp):
 
 
 @dataclasses.dataclass
+class QuantizedEmbedding(QuantizedOp):
+    """Gather with a CONSTANT table and clear graph-input indices (the
+    torch nn.Embedding export form; reference pytest EmbeddingModel)."""
+
+    table: np.ndarray = None
+    axis: int = 0
+
+    def calibrate(self, x):
+        return self.forward(x, FheMode.DISABLE)
+
+    def forward(self, x, fhe):
+        # indices may arrive dequantized (e.g. 2.9999): round, not trunc
+        idx = np.round(np.asarray(x, np.float64)).astype(np.int64)
+        return np.take(np.asarray(self.table), idx, axis=self.axis)
+
+
+@dataclasses.dataclass
 class QuantizedSlice(QuantizedOp):
     """ONNX Slice with constant starts/ends/axes/steps."""
 
@@ -539,8 +561,16 @@ class QuantizedGraphModule:
         self.preset_input_quantizer: UniformQuantizer | None = None
         self._compiled = False
 
+    @staticmethod
+    def _as_inputs(x) -> tuple:
+        return tuple(x) if isinstance(x, (tuple, list)) else (x,)
+
     def _run(self, x, fhe, calibrate=False):
-        vals = {"input": np.asarray(x, np.float64)}
+        xs = self._as_inputs(x)
+        vals = {
+            ("input" if i == 0 else f"input:{i}"): np.asarray(v, np.float64)
+            for i, v in enumerate(xs)
+        }
         for i, node in enumerate(self.nodes):
             args = [vals[j] for j in node.inputs]
             if calibrate:
@@ -552,19 +582,28 @@ class QuantizedGraphModule:
         return vals[len(self.nodes) - 1]
 
     def calibrate(self, x_cal):
-        x = np.asarray(x_cal, np.float64)
+        xs = tuple(
+            np.asarray(v, np.float64) for v in self._as_inputs(x_cal)
+        )
         if self.preset_input_quantizer is not None:
-            self.input_quantizer = self.preset_input_quantizer
+            self.input_quantizers = [self.preset_input_quantizer] * len(xs)
         else:
-            self.input_quantizer = UniformQuantizer(
-                self.n_bits, is_signed=True
-            ).fit(x)
-        self._run(x, FheMode.DISABLE, calibrate=True)
+            self.input_quantizers = [
+                UniformQuantizer(self.n_bits, is_signed=True).fit(v)
+                for v in xs
+            ]
+        self.input_quantizer = self.input_quantizers[0]
+        self._run(xs, FheMode.DISABLE, calibrate=True)
         return self
 
-    def compile(self, seed: int = 0):
+    def compile(self, seed: int = 0, params=None):
+        """FHE keygen for every linear node. `params` overrides the GLWE
+        matmul parameter set (tests pass TOY_MATMUL to keep keygen
+        cheap; None keeps the production default)."""
         for i, node in enumerate(self.nodes):
             if hasattr(node.op, "keygen"):
+                if params is not None and getattr(node.op, "_exec", None) is not None:
+                    node.op._exec.params = params
                 node.op.keygen(seed + i)
         self._compiled = True
         return self
@@ -573,8 +612,14 @@ class QuantizedGraphModule:
         fhe = FheMode.from_any(fhe)
         if fhe == FheMode.EXECUTE:
             assert self._compiled, "compile() before fhe='execute'"
-        q = self.input_quantizer
-        x = q.dequant(q.quant(np.asarray(x, np.float64)))
-        return self._run(x, fhe)
+        xs = self._as_inputs(x)
+        qs = getattr(self, "input_quantizers", None) or [
+            self.input_quantizer
+        ] * len(xs)
+        xs = tuple(
+            q.dequant(q.quant(np.asarray(v, np.float64)))
+            for q, v in zip(qs, xs)
+        )
+        return self._run(xs, fhe)
 
     __call__ = forward
