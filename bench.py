@@ -81,12 +81,16 @@ def main():
         )
         return
 
-    t0 = time.time()
+    from tfhe_tpu.utils import keycache
+
     print("classic keygen...", file=sys.stderr, flush=True)
-    ck, sk = si.keygen(P, seed=1)
+    ck, sk, kinfo = keycache.load_or_keygen(P, seed=1)
     jax.device_get(sk.bsk.bsk_ntt.ravel()[:1])  # force keygen completion
-    keygen_s = time.time() - t0
-    print(f"classic keygen {keygen_s:.0f}s", file=sys.stderr, flush=True)
+    keygen_s = kinfo["seconds"]
+    print(
+        f"classic keygen {keygen_s:.0f}s (warm={kinfo['hit']})",
+        file=sys.stderr, flush=True,
+    )
 
     engine = si.engine_for(P)
     rng = FheRng(2)
@@ -129,6 +133,7 @@ def main():
         "iters": iters,
         "ms_per_pbs": round(1000.0 * dt / (batch * iters), 3),
         "keygen_s": round(keygen_s, 1),
+        "keygen_warm_start": kinfo["hit"],
         "compile_s": round(compile_s, 1),
         "backend": jax.devices()[0].platform,
     }
@@ -171,15 +176,17 @@ def _bench_multibit(jax, jnp, np, si, batch, iters, group=3):
 
     P = tp.PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
     engine = si.engine_for(P)
-    t0 = time.time()
-    # ONE jitted keygen program (si._keygen_program): the eager key build
-    # paid the ~37 ms axon dispatch floor per op and an eager compile per
-    # engine method -- 477 s in round 2; fused it is one compile + one run.
-    ck, sk = si.keygen(P, seed=1)
+    # Warm-start: keys are serialized on first generation and reloaded on
+    # every later process start (utils/keycache.py) -- a production
+    # coprocessor pays the one jitted keygen program (477 s cold in round
+    # 2, compile-dominated) exactly once per parameter set.
+    from tfhe_tpu.utils import keycache
+
+    ck, sk, kinfo = keycache.load_or_keygen(P, seed=1, multibit_group=group)
     bsk, ksk = sk.bsk, sk.ksk
     big_sk = ck.big_lwe_key
     jax.device_get(bsk.bsk_ntt.ravel()[:1])
-    keygen_s = time.time() - t0
+    keygen_s = kinfo["seconds"]
 
     vals = jnp.arange(batch, dtype=jnp.uint64) % jnp.uint64(4)
     ct = encrypt_lwe(big_sk, encode(vals, P.delta), FheRng(2), P.glwe_noise)
@@ -211,6 +218,7 @@ def _bench_multibit(jax, jnp, np, si, batch, iters, group=3):
             "group_size": group,
             "ms_per_pbs": round(1000.0 * dt / (batch * iters), 3),
             "keygen_s": round(keygen_s, 1),
+            "keygen_warm_start": kinfo["hit"],
             "compile_s": round(compile_s, 1),
         },
     }

@@ -48,10 +48,11 @@ def main():
     else:
         P = tp.PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
         mb_group = 3
-    t0 = time.time()
-    ck, sk = si.keygen(P, seed=1, multibit_group=mb_group)
+    from tfhe_tpu.utils import keycache
+
+    ck, sk, kinfo = keycache.load_or_keygen(P, seed=1, multibit_group=mb_group)
     jax.device_get(sk.bsk.bsk_ntt.ravel()[:1])
-    keygen_s = time.time() - t0
+    keygen_s = kinfo["seconds"]
 
     rng = np.random.default_rng(3)
     bal = rng.integers(0, 1 << 32, batch, dtype=np.uint64)
@@ -95,6 +96,7 @@ def main():
             "iters": iters,
             "s_per_transfer_batched": round(dt / (batch * iters), 3),
             "keygen_s": round(keygen_s, 1),
+            "keygen_warm_start": kinfo["hit"],
             "compile_s": round(compile_s, 1),
             "backend": jax.devices()[0].platform,
         },

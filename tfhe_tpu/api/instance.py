@@ -166,7 +166,11 @@ class FhevmInstance:
     def __init__(self, params: ShortintParams, seed: int = 0, chain_id: int = 31337):
         self.params = params
         self.chain_id = chain_id
-        self._ck, self._sk = si.keygen(params, seed=seed)
+        # warm-start: the coprocessor pays the jitted keygen program once
+        # per parameter set, then reloads serialized keys (keycache.py)
+        from tfhe_tpu.utils import keycache
+
+        self._ck, self._sk, _ = keycache.load_or_keygen(params, seed=seed)
         self._rng = FheRng(seed + 1)
         self.public_key = gen_public_key(self._ck, self._rng.fork())
         self.acl = Acl()

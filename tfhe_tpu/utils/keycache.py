@@ -1,0 +1,94 @@
+"""Warm-start key cache: serialized (ClientKey, ServerKey) on disk.
+
+tfhe-rs keygen takes seconds and keys are routinely serialized and
+reloaded (reference: the SDK fetches pre-generated server keys over
+/keyurl, sdk/relayer/src/tfhe.ts:13-33; the coprocessor never
+regenerates keys per process). Here cold keygen is one large jitted
+device program (minutes at production multibit params, dominated by
+compile + the GGSW fan-out), so a production server must pay it ONCE:
+this module caches the key pair on disk keyed by (params hash, seed,
+engine), and `load_or_keygen` turns every later process start into a
+deserialize + host->device transfer.
+
+The cache trusts its directory (keys include the SECRET key client
+half); it is a single-host warm-start, not a distribution channel —
+the serving layer's /keyurl path stays the way EVALUATION keys travel.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+# multibit GROUP_3 server keys are ~2.4 GB serialized — far over the
+# protocol's 512 MiB wire cap, which exists for untrusted *network*
+# payloads (utils/serialization.py), not for this trusted local cache.
+KEY_CACHE_MAX = 8 * 1024 * 1024 * 1024
+
+DEFAULT_DIR = os.environ.get("TFHE_TPU_KEY_CACHE_DIR", "/tmp/tfhe_tpu_keys")
+
+
+def _effective_group(params, multibit_group: int | None) -> int:
+    """Mirror si.keygen's inference: MULTI_BIT_GROUP_N param sets imply
+    their group; the cache key must agree no matter how callers spell it."""
+    if multibit_group is not None:
+        return multibit_group
+    name = getattr(params, "name", "")
+    if "MULTI_BIT_GROUP_" in name:
+        return int(name.split("MULTI_BIT_GROUP_")[1].split("_")[0])
+    return 0
+
+
+def cache_path(params, seed: int, multibit_group: int | None,
+               cache_dir: str | None = None) -> str:
+    d = cache_dir or DEFAULT_DIR
+    g = _effective_group(params, multibit_group)
+    return os.path.join(d, f"{params.hash[:16]}_s{seed}_g{g}.tfhekeys")
+
+
+def save_keys(path: str, ck, sk) -> None:
+    from tfhe_tpu.utils.serialization import serialize
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    blob = serialize((ck, sk), max_size=KEY_CACHE_MAX)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: concurrent writers never tear
+
+
+def load_keys(path: str):
+    from tfhe_tpu.utils.serialization import deserialize
+
+    with open(path, "rb") as f:
+        return deserialize(f.read(), max_size=KEY_CACHE_MAX)
+
+
+def load_or_keygen(params, seed: int = 0, multibit_group: int | None = None,
+                   cache_dir: str | None = None) -> tuple[Any, Any, dict]:
+    """(ck, sk, info): cached keys when present, else keygen + store.
+
+    info = {"hit": bool, "seconds": wall time of whichever path ran}.
+    Disable with TFHE_TPU_KEY_CACHE=0 (info then reports hit=False and
+    nothing is written).
+    """
+    from tfhe_tpu.models import shortint as si
+
+    enabled = os.environ.get("TFHE_TPU_KEY_CACHE", "1") != "0"
+    path = cache_path(params, seed, multibit_group, cache_dir)
+    if enabled and os.path.exists(path):
+        t0 = time.time()
+        ck, sk = load_keys(path)
+        return ck, sk, {"hit": True, "seconds": time.time() - t0,
+                        "path": path}
+    t0 = time.time()
+    ck, sk = si.keygen(params, seed=seed, multibit_group=multibit_group)
+    # force completion so the measured time covers the device work
+    import jax
+
+    jax.device_get(jax.tree_util.tree_leaves(sk)[0].ravel()[:1])
+    dt = time.time() - t0
+    if enabled:
+        save_keys(path, ck, sk)
+    return ck, sk, {"hit": False, "seconds": dt, "path": path}

@@ -41,6 +41,14 @@ def _meta_of(obj) -> dict:
             else:
                 d[f.name] = v
         return {"__dataclass__": type(obj).__module__ + ":" + type(obj).__qualname__, "fields": d}
+    if isinstance(obj, tuple) and hasattr(type(obj), "_fields"):
+        # NamedTuple (secret keys, core/keys.py): keep the class, or the
+        # round-trip degrades it to a plain tuple and property accessors
+        # (.key, .k) vanish
+        return {
+            "__namedtuple__": type(obj).__module__ + ":" + type(obj).__qualname__,
+            "fields": {k: _meta_of(v) for k, v in zip(type(obj)._fields, obj)},
+        }
     if isinstance(obj, tuple):
         return {"__tuple__": [_meta_of(x) for x in obj]}
     if isinstance(obj, dict):
@@ -99,6 +107,9 @@ def _rebuild(meta, arrays: list):
         cls = _resolve(meta["__dataclass__"])
         kwargs = {k: _rebuild(v, arrays) for k, v in meta["fields"].items()}
         return cls(**kwargs)
+    if isinstance(meta, dict) and "__namedtuple__" in meta:
+        cls = _resolve(meta["__namedtuple__"])
+        return cls(**{k: _rebuild(v, arrays) for k, v in meta["fields"].items()})
     if isinstance(meta, dict) and "__tuple__" in meta:
         return tuple(_rebuild(x, arrays) for x in meta["__tuple__"])
     if isinstance(meta, dict) and "__dict__" in meta:
