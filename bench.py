@@ -30,7 +30,37 @@ import time
 WASM_REFERENCE_PBS_PER_S = 30.0
 
 
+def _probe_backend(timeout_s: int = 600) -> str | None:
+    """Initialize the backend in a SUBPROCESS first: with the TPU tunnel
+    down, make_c_api_client blocks forever (uninterruptible C call), and
+    an in-process attempt would hang the whole bench. Returns the
+    platform name, or None if init failed/timed out."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    return r.stdout.strip() if r.returncode == 0 else None
+
+
 def main():
+    backend = _probe_backend()
+    if backend is None:
+        print(json.dumps({
+            "metric": "pbs_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "PBS/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "backend init failed or timed out "
+                                "(TPU tunnel unreachable)"},
+        }))
+        sys.exit(1)
+
     import jax
 
     # persistent compile cache: keygen/PBS programs are identical across

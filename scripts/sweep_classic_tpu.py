@@ -33,10 +33,10 @@ from tfhe_tpu.models import shortint as si
 from tfhe_tpu.rng import FheRng
 
 P = tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
-t0 = time.time()
-ck, sk = si.keygen(P, seed=1)
+from tfhe_tpu.utils import keycache
+ck, sk, kinfo = keycache.load_or_keygen(P, seed=1)
 jax.device_get(sk.bsk.bsk_ntt.ravel()[:1])
-keygen_s = time.time() - t0
+keygen_s = kinfo["seconds"]
 engine = si.engine_for(P)
 vals = jnp.arange({batch}, dtype=jnp.uint64) % jnp.uint64(4)
 ct = si.encrypt(ck, vals, FheRng(2)).ct

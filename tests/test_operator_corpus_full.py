@@ -93,8 +93,13 @@ CMP_FNS = {"eq": ri.eq, "ne": ri.ne, "lt": ri.lt, "le": ri.le,
 
 
 def _run_binary(ck, sk, op, bits, variant):
-    a = _vals(bits, abs(hash((op, bits, variant, 0))) % 2**31)
-    b = _vals(bits, abs(hash((op, bits, variant, 1))) % 2**31, edges=False)
+    # stable per-case seed: hash() is PYTHONHASHSEED-randomized per
+    # process, which would draw different vectors every run
+    import zlib
+
+    tag = f"{op}/{bits}/{variant}".encode()
+    a = _vals(bits, zlib.crc32(tag) % 2**31)
+    b = _vals(bits, zlib.crc32(tag + b"~") % 2**31, edges=False)
     b[3] = a[3]  # pin an equal pair
     obj = lambda x: x.astype(object)
     if op in BINARY:
