@@ -106,7 +106,13 @@ class CoprocessorQuorum:
 
     @property
     def addresses(self) -> list[str]:
-        return [ec.address(p) for p in self.privs]
+        # address derivation is an EC mult per signer; the quorum is
+        # static, so compute once (the serve path reads this per request)
+        cached = getattr(self, "_addr_cache", None)
+        if cached is None:
+            cached = [ec.address(p) for p in self.privs]
+            object.__setattr__(self, "_addr_cache", cached)
+        return cached
 
     def sign_handles(
         self,

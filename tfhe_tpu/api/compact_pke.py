@@ -166,18 +166,22 @@ def compact_pke_encrypt(
     return lst
 
 
+@jax.jit
+def _expand_program(glwes: jax.Array, casting_ksk) -> jax.Array:
+    """ALL coefficient extractions + the casting keyswitch as ONE device
+    program (the eager per-coefficient loop paid N dispatch floors and
+    dominated /input-proof wall time)."""
+    from tfhe_tpu.core.lwe import sample_extract_all
+
+    lwes = sample_extract_all(glwes)  # (n_lists, N, n_pke+1)
+    flat = lwes.reshape(-1, lwes.shape[-1])
+    return keyswitch(flat, casting_ksk)
+
+
 def expand(
     keys: CompactPkeKeySet, lst: CompactCiphertextList
 ) -> jax.Array:
     """Server-side expansion: extract each coefficient as an LWE under
     the flattened PKE key, then casting-keyswitch into the compute key.
     Returns (V, n_compute+1) u64 shortint-encoded LWE blocks."""
-    pke = lst.params
-    n = pke.polynomial_size
-    outs = []
-    # one batched extraction per coefficient index, batched over lists
-    lwes = jnp.stack(
-        [sample_extract(lst.glwes, i) for i in range(n)], axis=-2
-    )  # (n_lists, N, n_pke+1)
-    flat = lwes.reshape(-1, lwes.shape[-1])[: lst.n_values]
-    return keyswitch(flat, keys.casting_ksk)
+    return _expand_program(lst.glwes, keys.casting_ksk)[: lst.n_values]

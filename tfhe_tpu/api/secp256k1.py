@@ -79,6 +79,62 @@ def _mul(pt, k: int):
     return acc
 
 
+# Fixed-base 4-bit window table: _BASE_TAB[w][d] = (d << 4w) * G.
+# Base-point multiplication (every sign, every address derivation, half
+# of every recover) drops from 256 doublings + ~128 adds to ~63 adds.
+_BASE_TAB: list | None = None
+
+
+def _build_base_tab():
+    tab = []
+    pt = _G
+    for _ in range(64):
+        row = [(0, 1, 0), pt]
+        for _ in range(14):
+            row.append(_add(row[-1], pt))
+        tab.append(row)
+        pt = _dbl(_dbl(_dbl(_dbl(pt))))
+    return tab
+
+
+def _mul_base(k: int):
+    """k * G via the fixed-base window table."""
+    global _BASE_TAB
+    if _BASE_TAB is None:
+        _BASE_TAB = _build_base_tab()
+    k %= N
+    acc = (0, 1, 0)
+    w = 0
+    while k:
+        d = k & 15
+        if d:
+            acc = _add(acc, _BASE_TAB[w][d])
+        k >>= 4
+        w += 1
+    return acc
+
+
+def _mul_shamir(p1, k1: int, k2: int):
+    """k1 * p1 + k2 * G with one shared doubling chain (Strauss-Shamir:
+    the verification/recovery combination u1*R + u2*G runs one 256-step
+    ladder instead of two)."""
+    k1 %= N
+    k2 %= N
+    both = _add(p1, _G)
+    acc = (0, 1, 0)
+    for i in range(max(k1.bit_length(), k2.bit_length()) - 1, -1, -1):
+        acc = _dbl(acc)
+        b1 = (k1 >> i) & 1
+        b2 = (k2 >> i) & 1
+        if b1 and b2:
+            acc = _add(acc, both)
+        elif b1:
+            acc = _add(acc, p1)
+        elif b2:
+            acc = _add(acc, _G)
+    return acc
+
+
 def _affine(pt):
     x, y, z = pt
     if z == 0:
@@ -92,7 +148,7 @@ def _affine(pt):
 
 
 def pubkey(priv: int) -> tuple[int, int]:
-    return _affine(_mul(_G, priv))
+    return _affine(_mul_base(priv))
 
 
 def address(priv: int) -> str:
@@ -139,7 +195,7 @@ def sign(priv: int, digest: bytes) -> bytes:
     z = int.from_bytes(digest, "big")
     while True:
         k = _rfc6979_k(priv, digest)
-        x, y = _affine(_mul(_G, k))
+        x, y = _affine(_mul_base(k))
         r = x % N
         if r == 0:
             digest = keccak256(digest)
@@ -176,8 +232,8 @@ def recover(digest: bytes, sig: bytes) -> tuple[int, int]:
         y = P - y
     z = int.from_bytes(digest, "big")
     rinv = _inv(r, N)
-    # Q = r^-1 (s*R - z*G)
-    q = _add(_mul((x, y, 1), s * rinv % N), _mul(_G, (-z) * rinv % N))
+    # Q = r^-1 (s*R - z*G), one Strauss-Shamir ladder
+    q = _mul_shamir((x, y, 1), s * rinv % N, (-z) * rinv % N)
     return _affine(q)
 
 

@@ -187,6 +187,33 @@ def _pk_planes(pke_pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return mask, body
 
 
+def _wrap_matmul_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a @ b) mod 2^64 via 16-bit-limb float64 BLAS matmuls.
+
+    numpy's u64 matmul has no SIMD/BLAS path (~440 ms at the production
+    M=N=2048 statement); splitting both operands into four 16-bit limbs
+    gives exact f64 products (<= 2^32) whose per-weight partial sums stay
+    under 2^53 for M <= 2^20, and dgemm does the contraction ~20x faster.
+    Only limb pairs with weight < 2^64 survive the wrap. Small problems
+    take the direct u64 path: the 10-matmul limb overhead only wins once
+    the contraction itself dominates (measured crossover ~512x512)."""
+    assert a.shape[-1] <= 1 << 20
+    if a.shape[-1] * b.shape[-1] <= 1 << 18:
+        with np.errstate(over="ignore"):
+            return a @ b
+    mask16 = np.uint64(0xFFFF)
+    al = [((a >> np.uint64(16 * i)) & mask16).astype(np.float64) for i in range(4)]
+    bl = [((b >> np.uint64(16 * j)) & mask16).astype(np.float64) for j in range(4)]
+    out = np.zeros(a.shape[:-1] + (b.shape[-1],), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(4):
+            acc = al[0] @ bl[k]
+            for i in range(1, k + 1):
+                acc += al[i] @ bl[k - i]
+            out += acc.astype(np.uint64) << np.uint64(16 * k)
+    return out
+
+
 def _apply_map(
     crs: CompactPkeCrs,
     pk_mask: np.ndarray,
@@ -198,8 +225,8 @@ def _apply_map(
     """A.(vr, vm, ve) for a stack of vectors: vr (..., M) -> mask
     (..., k*N) and body (..., N) images, all wrapping mod 2^64."""
     with np.errstate(over="ignore"):
-        t_mask = vr @ pk_mask
-        t_body = vr @ pk_body + np.uint64(crs.delta) * vm + ve
+        t_mask = _wrap_matmul_u64(vr, pk_mask)
+        t_body = _wrap_matmul_u64(vr, pk_body) + np.uint64(crs.delta) * vm + ve
     return t_mask, t_body
 
 

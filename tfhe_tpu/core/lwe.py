@@ -92,6 +92,29 @@ def sample_extract(glwe_ct: jax.Array, index: int = 0) -> jax.Array:
     return jnp.concatenate([flat, body[..., None]], axis=-1)
 
 
+def sample_extract_all(glwe_ct: jax.Array) -> jax.Array:
+    """Extract ALL N coefficients at once: (..., k+1, N) -> (..., N, k*N+1).
+
+    One vectorized gather replaces a Python loop of N eager
+    sample_extract calls (the compact-PKE expansion hot path: per-op
+    dispatch dominated the /input-proof wall time). Same negacyclic
+    phase algebra as sample_extract, with the index axis materialized."""
+    n = glwe_ct.shape[-1]
+    k = glwe_ct.shape[-2] - 1
+    mask = glwe_ct[..., :-1, :]
+    body = glwe_ct[..., -1, :]  # (..., N)
+    i = jnp.arange(n)
+    t = i[:, None]  # extraction index axis
+    src = (t - i[None, :]) % n  # (N_t, N_i)
+    sign_neg = i[None, :] > t  # (N_t, N_i)
+    ext = jnp.take(mask, src.reshape(-1), axis=-1)
+    ext = ext.reshape(*mask.shape[:-1], n, n)  # (..., k, N_t, N_i)
+    ext = jnp.where(sign_neg, (~ext) + U64(1), ext)
+    ext = jnp.moveaxis(ext, -3, -2)  # (..., N_t, k, N_i)
+    flat = ext.reshape(*glwe_ct.shape[:-2], n, k * n)
+    return jnp.concatenate([flat, body[..., None]], axis=-1)
+
+
 @pytree_dataclass(meta=("gadget",))
 class KeyswitchKey:
     """LWE -> LWE keyswitch key.
