@@ -1,0 +1,88 @@
+"""Serving-path wall-clock benchmark: input creation, user decrypt, and
+public decrypt (the reference benchmarks exactly these flows:
+tests/fhevm-suite/e2e_old/test/benchmarks/{createInput,userDecrypt,
+erc20}.ts). Prints one JSON line per flow and writes BENCH_SERVING.json.
+
+These are protocol/host paths (compact-PKE expand + ZK proof + quorum
+signatures + KMS sealing); the FHE compute inside runs on whatever
+backend JAX resolves. Run on CPU for the protocol numbers:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python scripts/bench_serving.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+
+    from tfhe_tpu import params as tp
+    from tfhe_tpu.api.instance import FhevmInstance
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    inst = FhevmInstance(tp.TOY_SHORTINT, seed=3)
+    C, U = "0x" + "11" * 20, "0x" + "22" * 20
+
+    # warm every program
+    res = inst.create_encrypted_input(C, U).add8(5).add64(123).encrypt()
+    h8 = res["handles"][0]
+    kp = inst.generate_keypair()
+    inst.user_decrypt_sealed([(h8, C)], U, kp["publicKey"])
+    inst.acl.allow_for_decryption(h8)
+    inst.public_decrypt([h8])
+
+    out = {}
+
+    t0 = time.time()
+    for _ in range(n):
+        res = inst.create_encrypted_input(C, U).add8(5).add64(123).encrypt()
+    dt = (time.time() - t0) / n
+    out["create_input"] = {
+        "ms": round(dt * 1000, 1), "per_s": round(1 / dt, 2),
+        "detail": "2 values (euint8+euint64): CPKE encrypt + ZK prove + "
+                  "server verify + expand + quorum sign",
+    }
+
+    t0 = time.time()
+    for _ in range(n):
+        inst.user_decrypt_sealed([(h8, C)], U, kp["publicKey"])
+    dt = (time.time() - t0) / n
+    out["user_decrypt_sealed"] = {
+        "ms": round(dt * 1000, 1), "per_s": round(1 / dt, 2),
+        "detail": "ACL check + decrypt + ML-KEM seal to user key",
+    }
+
+    t0 = time.time()
+    for _ in range(n):
+        inst.public_decrypt([h8])
+    dt = (time.time() - t0) / n
+    out["public_decrypt"] = {
+        "ms": round(dt * 1000, 1), "per_s": round(1 / dt, 2),
+        "detail": "ACL gate + decrypt",
+    }
+
+    rec = {
+        "metric": "serving_create_input_per_s",
+        "value": out["create_input"]["per_s"],
+        "unit": "inputs/s",
+        "detail": {**out, "params": "TOY_SHORTINT",
+                   "backend": jax.devices()[0].platform},
+    }
+    print(json.dumps(rec))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SERVING.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
