@@ -10,6 +10,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(script, *args):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PYTHONPATH", None)
+    # keep the axon plugin out of the subprocess: with the TPU tunnel
+    # down its registration hook blocks any backends() walk forever
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, script, *args],
         cwd=REPO,
@@ -30,3 +33,9 @@ def test_glwe_dot_demo():
     r = _run("examples/glwe_dot_demo.py")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "profile bound" in r.stdout
+
+
+def test_hybrid_serving_demo():
+    r = _run("examples/hybrid_serving_demo.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
