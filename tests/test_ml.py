@@ -173,3 +173,41 @@ def test_p_error_feeds_parameter_selection():
     res, params, pf = search_and_select(qm, x, y, tolerance=0.05)
     assert params.name in (p11.name, p22.name)
     assert pf <= res.p_error
+
+
+def test_n_bits_dict_config():
+    """Reference n_bits semantics (post_training.py get_n_bits_dict):
+    int and four-key dict forms, validation, per-role widths."""
+    import pytest as _pytest
+    import torch.nn as nn
+
+    from tfhe_tpu.ml.quantization import get_n_bits_dict
+    from tfhe_tpu.ml.quantized_module import compile_torch_model
+
+    assert get_n_bits_dict(8) == {
+        "model_inputs": 8, "op_weights": 8, "op_inputs": 8,
+        "model_outputs": 8,
+    }
+    assert get_n_bits_dict(3)["model_inputs"] == 5  # DEFAULT_MODEL_BITS
+    cfg = get_n_bits_dict({"op_inputs": 6, "op_weights": 4})
+    assert cfg == {"model_inputs": 5, "op_weights": 4, "op_inputs": 6,
+                   "model_outputs": 6}
+    with _pytest.raises(ValueError):
+        get_n_bits_dict({"op_inputs": 6})  # op_weights mandatory
+    with _pytest.raises(ValueError):
+        get_n_bits_dict({"op_inputs": 6, "op_weights": 4, "bogus": 1})
+
+    torch = __import__("torch")
+    torch.manual_seed(0)
+    net = nn.Sequential(nn.Linear(4, 8), nn.ReLU(), nn.Linear(8, 2)).eval()
+    x = np.random.default_rng(0).normal(0, 1, (32, 4)).astype(np.float32)
+    qm = compile_torch_model(
+        net, x, n_bits={"op_inputs": 7, "op_weights": 3, "model_inputs": 6}
+    )
+    assert qm.input_quantizer.n_bits == 6
+    gemm = qm.ops[0]
+    assert gemm._exec.n_bits_in == 7 and gemm._exec.n_bits_w == 3
+    got = qm.forward(x.astype(np.float64))
+    want = net(torch.tensor(x)).detach().numpy()
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.25, rel  # 3-bit weights: coarse but must track

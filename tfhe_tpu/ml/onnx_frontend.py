@@ -448,15 +448,21 @@ class _Const:
         return self.value
 
 
-def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
+def graph_to_module(g: OnnxGraph, n_bits=8) -> qo.QuantizedGraphModule:
     """Lower the parsed graph onto QuantizedGraphModule. Single graph
-    input; initializers become op weights or constant nodes.
+    input; initializers become op weights or constant nodes. n_bits:
+    int or the reference's four-key dict (op_inputs/op_weights/
+    model_inputs/model_outputs, post_training.py get_n_bits_dict).
 
     QuantizeLinear/DequantizeLinear pairs on ACTIVATIONS lower to
     fixed-scale fake-quant ops (QAT import: scales come from the trained
     model, reference torch/compile.py:452 compile_brevitas_qat_model /
     quantization/qat_quantizers.py); on WEIGHTS they constant-fold so
     linear ops consume the exact dequantized integer grid."""
+    from tfhe_tpu.ml.quantization import get_n_bits_dict
+
+    n_bits_cfg = get_n_bits_dict(n_bits)
+    n_bits, n_bits_w = n_bits_cfg["op_inputs"], n_bits_cfg["op_weights"]
     g = const_fold(g)
     assert g.inputs, "graph has no inputs"
     # input i binds to id "input" (i=0, compat) / "input:i" (i>0) --
@@ -493,7 +499,8 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
             if len(node.inputs) > 2 and node.inputs[2] in g.initializers:
                 b = g.initializers[node.inputs[2]].data.astype(np.float64)
             out = add(
-                QuantizedGemm(weights=w, bias=b, n_bits=n_bits),
+                QuantizedGemm(weights=w, bias=b, n_bits=n_bits,
+                              n_bits_w=n_bits_w),
                 (resolve(node.inputs[0]),),
             )
         elif op_t == "Conv":
@@ -507,6 +514,7 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
                 QuantizedConv(
                     weights=w, bias=b, stride=tuple(strides),
                     padding=(pads[0], pads[1]), n_bits=n_bits,
+                    n_bits_w=n_bits_w,
                 ),
                 (resolve(node.inputs[0]),),
             )
@@ -804,7 +812,7 @@ def graph_to_module(g: OnnxGraph, n_bits: int = 8) -> qo.QuantizedGraphModule:
             raise NotImplementedError(f"ONNX op {op_t} not supported")
         for oname in node.outputs:
             name_to_id[oname] = out
-    qm = qo.QuantizedGraphModule(nodes, n_bits=n_bits)
+    qm = qo.QuantizedGraphModule(nodes, n_bits=n_bits_cfg)
     if input_qdq:
         from tfhe_tpu.ml.quantization import UniformQuantizer
 

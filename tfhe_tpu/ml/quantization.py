@@ -14,6 +14,48 @@ import dataclasses
 
 import numpy as np
 
+# Default bit-width for the MODEL boundary quantizers when a single int
+# is passed for n_bits (reference post_training.py DEFAULT_MODEL_BITS:
+# "a compromise between model accuracy and runtime performance in FHE").
+DEFAULT_MODEL_BITS = 5
+
+_N_BITS_KEYS = {"model_inputs", "op_weights", "model_outputs", "op_inputs"}
+
+
+def get_n_bits_dict(n_bits) -> dict:
+    """Normalize the n_bits parameter into the four-key dictionary the
+    reference uses (post_training.py:127 get_n_bits_dict): an int sets
+    op_inputs/op_weights and max(DEFAULT_MODEL_BITS, n) at the model
+    boundary; a dict must carry op_inputs + op_weights, the model keys
+    default."""
+    if isinstance(n_bits, int):
+        return {
+            "model_inputs": max(DEFAULT_MODEL_BITS, n_bits),
+            "op_weights": n_bits,
+            "op_inputs": n_bits,
+            "model_outputs": max(DEFAULT_MODEL_BITS, n_bits),
+        }
+    if (
+        isinstance(n_bits, dict)
+        and set(n_bits) <= _N_BITS_KEYS
+        and {"op_weights", "op_inputs"} <= set(n_bits)
+    ):
+        out = {
+            "model_inputs": DEFAULT_MODEL_BITS,
+            "model_outputs": max(DEFAULT_MODEL_BITS, n_bits["op_inputs"]),
+        }
+        out.update(n_bits)
+        if out["model_outputs"] < out["op_inputs"]:
+            raise ValueError(
+                "model_outputs bits must be >= op_inputs bits"
+            )
+        return out
+    raise ValueError(
+        "Invalid n_bits: pass an int, or a dict with integer values for "
+        "op_weights and op_inputs (mandatory) and model_inputs / "
+        f"model_outputs (optional, default {DEFAULT_MODEL_BITS})"
+    )
+
 
 @dataclasses.dataclass
 class UniformQuantizer:

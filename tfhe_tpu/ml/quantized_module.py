@@ -63,6 +63,7 @@ class QuantizedGemm(QuantizedOp):
     weights: np.ndarray
     bias: np.ndarray | None
     n_bits: int = 8
+    n_bits_w: int | None = None  # weight bits (defaults to n_bits)
     _exec: GlweLinearLayerExecutor | None = None
 
     def __post_init__(self):
@@ -70,7 +71,7 @@ class QuantizedGemm(QuantizedOp):
             weights=self.weights,
             bias=self.bias,
             n_bits_in=self.n_bits,
-            n_bits_w=self.n_bits,
+            n_bits_w=self.n_bits_w or self.n_bits,
         )
 
     def keygen(self, seed: int):
@@ -85,11 +86,13 @@ class QuantizedGemm(QuantizedOp):
         return out.reshape(*b, -1)
 
     def dump_dict(self):
-        return {"weights": self.weights, "bias": self.bias, "n_bits": self.n_bits}
+        return {"weights": self.weights, "bias": self.bias,
+                "n_bits": self.n_bits, "n_bits_w": self.n_bits_w}
 
     @classmethod
     def load_dict(cls, d):
-        return cls(weights=d["weights"], bias=d["bias"], n_bits=d["n_bits"])
+        return cls(weights=d["weights"], bias=d["bias"], n_bits=d["n_bits"],
+                   n_bits_w=d.get("n_bits_w"))
 
 
 @dataclasses.dataclass
@@ -104,6 +107,7 @@ class QuantizedConv(QuantizedOp):
     stride: tuple = (1, 1)
     padding: tuple = (0, 0)
     n_bits: int = 8
+    n_bits_w: int | None = None  # weight bits (defaults to n_bits)
     _exec: GlweLinearLayerExecutor | None = None
 
     def __post_init__(self):
@@ -113,7 +117,7 @@ class QuantizedConv(QuantizedOp):
             weights=wmat,
             bias=self.bias,
             n_bits_in=self.n_bits,
-            n_bits_w=self.n_bits,
+            n_bits_w=self.n_bits_w or self.n_bits,
         )
 
     def keygen(self, seed: int):
@@ -149,13 +153,13 @@ class QuantizedConv(QuantizedOp):
     def dump_dict(self):
         return {"weights": self.weights, "bias": self.bias,
                 "stride": self.stride, "padding": self.padding,
-                "n_bits": self.n_bits}
+                "n_bits": self.n_bits, "n_bits_w": self.n_bits_w}
 
     @classmethod
     def load_dict(cls, d):
         return cls(weights=d["weights"], bias=d["bias"],
                    stride=tuple(d["stride"]), padding=tuple(d["padding"]),
-                   n_bits=d["n_bits"])
+                   n_bits=d["n_bits"], n_bits_w=d.get("n_bits_w"))
 
 
 @dataclasses.dataclass
@@ -292,15 +296,20 @@ class QuantizedModule:
     (reference quantized_module.py QuantizedModule: quantize_input :
     forward : dequantize_output)."""
 
-    def __init__(self, ops: Sequence[QuantizedOp], n_bits: int = 8):
+    def __init__(self, ops: Sequence[QuantizedOp], n_bits=8):
+        from tfhe_tpu.ml.quantization import get_n_bits_dict
+
         self.ops = list(ops)
-        self.n_bits = n_bits
+        self.n_bits_cfg = get_n_bits_dict(n_bits)
+        self.n_bits = self.n_bits_cfg["op_inputs"]
         self.input_quantizer: UniformQuantizer | None = None
         self._compiled = False
 
     def calibrate(self, x_cal: np.ndarray):
         x = np.asarray(x_cal, np.float64)
-        self.input_quantizer = UniformQuantizer(self.n_bits, is_signed=True).fit(x)
+        self.input_quantizer = UniformQuantizer(
+            self.n_bits_cfg["model_inputs"], is_signed=True
+        ).fit(x)
         for op in self.ops:
             x = op.calibrate(x)
         return self
@@ -366,11 +375,18 @@ _TORCH_TLUS = {
 }
 
 
-def _lower_torch_module(module, n_bits: int) -> list:
+def _lower_torch_module(module, n_bits) -> list:
     """Flatten a torch module into QuantizedOps (reference
     torch/compile.py builds the same op sequence via ONNX export; torch
-    module traversal avoids the onnx dependency, which is not vendored)."""
+    module traversal avoids the onnx dependency, which is not vendored).
+    n_bits: int or the reference's four-key dict (op_inputs/op_weights
+    drive the per-layer quantizers)."""
     import torch.nn as nn
+
+    from tfhe_tpu.ml.quantization import get_n_bits_dict
+
+    nb = get_n_bits_dict(n_bits)
+    n_bits, n_bits_w = nb["op_inputs"], nb["op_weights"]
 
     ops: list[QuantizedOp] = []
 
@@ -382,7 +398,8 @@ def _lower_torch_module(module, n_bits: int) -> list:
         elif isinstance(m, nn.Linear):
             w = m.weight.detach().numpy().T  # (in, out)
             b = m.bias.detach().numpy() if m.bias is not None else None
-            ops.append(QuantizedGemm(weights=w, bias=b, n_bits=n_bits))
+            ops.append(QuantizedGemm(weights=w, bias=b, n_bits=n_bits,
+                                     n_bits_w=n_bits_w))
         elif isinstance(m, nn.Conv2d):
             assert m.groups == 1, "grouped conv not supported"
             ops.append(
@@ -392,6 +409,7 @@ def _lower_torch_module(module, n_bits: int) -> list:
                     stride=tuple(m.stride),
                     padding=tuple(m.padding),
                     n_bits=n_bits,
+                    n_bits_w=n_bits_w,
                 )
             )
         elif isinstance(m, nn.AvgPool2d):

@@ -552,9 +552,12 @@ class QuantizedGraphModule:
     nodes: list of GraphNode evaluated in order; node i's result has id
     i; the graph input has id "input"; the LAST node is the output."""
 
-    def __init__(self, nodes: Sequence[GraphNode], n_bits: int = 8):
+    def __init__(self, nodes: Sequence[GraphNode], n_bits=8):
+        from tfhe_tpu.ml.quantization import get_n_bits_dict
+
         self.nodes = list(nodes)
-        self.n_bits = n_bits
+        self.n_bits_cfg = get_n_bits_dict(n_bits)
+        self.n_bits = self.n_bits_cfg["model_inputs"]
         self.input_quantizer: UniformQuantizer | None = None
         # QAT import: a model-provided input quantizer (scale/zero-point
         # from training) overrides calibration fitting

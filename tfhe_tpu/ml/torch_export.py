@@ -88,9 +88,15 @@ def _load_model_from_string(data: bytes) -> _StubModel:
 def _install_onnx_stub() -> None:
     if "onnx" in sys.modules:
         return
+    import importlib.machinery
+
     mod = types.ModuleType("onnx")
     mod.load_model_from_string = _load_model_from_string  # type: ignore[attr-defined]
     mod.__tfhe_tpu_stub__ = True  # type: ignore[attr-defined]
+    # a real ModuleSpec: importlib.util.find_spec("onnx") raises
+    # "onnx.__spec__ is None" otherwise (torch._dynamo.trace_rules walks
+    # find_spec over candidate module names at import time)
+    mod.__spec__ = importlib.machinery.ModuleSpec("onnx", loader=None)
     sys.modules["onnx"] = mod
 
 
