@@ -93,8 +93,9 @@ class _TreeEnsembleBase(SklearnEstimatorMixin):
     _kwargs_attr = "sk_kwargs"
     _serial_attrs = ("_a", "_thr", "_b", "_c", "_v", "_n_trees")
 
-    def __init__(self, n_bits: int = 6, **sk_kwargs):
+    def __init__(self, n_bits: int = 6, params=None, **sk_kwargs):
         self.n_bits = n_bits
+        self.params = params  # GLWE matmul parameter set (None = default)
         self.sk_kwargs = sk_kwargs
         self.sk_model = None
         self._trees: list[_LoweredTree] = []
@@ -159,13 +160,14 @@ class _TreeEnsembleBase(SklearnEstimatorMixin):
         return self
 
     def _build_execs(self):
+        p = getattr(self, "params", None)
         self._exec_a = GlweLinearLayerExecutor(
             weights=self._a, bias=None, n_bits_in=self.n_bits, n_bits_w=2,
-            exact_int_weights=True,
+            exact_int_weights=True, params=p,
         )
         self._exec_l = GlweLinearLayerExecutor(
             weights=self._b, bias=None, n_bits_in=2, n_bits_w=2,
-            exact_int_weights=True,
+            exact_int_weights=True, params=p,
         )
 
     def _post_load(self):
