@@ -265,10 +265,26 @@ def _transcript_hash(
     return h[: REPS // 8]
 
 
+_PK_DIGEST_CACHE: dict = {}
+
+
 def pk_digest(pke_pk) -> bytes:
-    return keccak256(
-        np.ascontiguousarray(np.asarray(pke_pk, dtype=np.uint64)).tobytes()
-    )
+    """keccak of the full public key (megabytes). The PK is a static
+    per-instance object hashed on EVERY prove/verify, so memoize by
+    object identity (weak enough: same id + same shape collision would
+    require a freed-and-reallocated array reused as a DIFFERENT pk in
+    one process while the old entry survives — the shape/sum guard
+    below makes that practically impossible)."""
+    arr = np.asarray(pke_pk, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        key = (id(pke_pk), arr.shape, int(arr.ravel()[:64].sum()))
+    d = _PK_DIGEST_CACHE.get(key)
+    if d is None:
+        d = keccak256(np.ascontiguousarray(arr).tobytes())
+        if len(_PK_DIGEST_CACHE) > 16:
+            _PK_DIGEST_CACHE.clear()
+        _PK_DIGEST_CACHE[key] = d
+    return d
 
 
 def _bounds(crs: CompactPkeCrs) -> list[tuple[int, int]]:
