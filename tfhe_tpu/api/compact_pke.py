@@ -166,15 +166,21 @@ def compact_pke_encrypt(
     return lst
 
 
-@jax.jit
-def _expand_program(glwes: jax.Array, casting_ksk) -> jax.Array:
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _expand_program(glwes: jax.Array, casting_ksk, n_keep: int) -> jax.Array:
     """ALL coefficient extractions + the casting keyswitch as ONE device
     program (the eager per-coefficient loop paid N dispatch floors and
-    dominated /input-proof wall time)."""
+    dominated /input-proof wall time). Only the first n_keep extracted
+    rows enter the keyswitch — a 2-value list must not pay a 2048-row
+    keyswitch; n_keep is a power-of-two bucket so distinct value counts
+    share compiled programs."""
     from tfhe_tpu.core.lwe import sample_extract_all
 
     lwes = sample_extract_all(glwes)  # (n_lists, N, n_pke+1)
-    flat = lwes.reshape(-1, lwes.shape[-1])
+    flat = lwes.reshape(-1, lwes.shape[-1])[:n_keep]
     return keyswitch(flat, casting_ksk)
 
 
@@ -184,4 +190,6 @@ def expand(
     """Server-side expansion: extract each coefficient as an LWE under
     the flattened PKE key, then casting-keyswitch into the compute key.
     Returns (V, n_compute+1) u64 shortint-encoded LWE blocks."""
-    return _expand_program(lst.glwes, keys.casting_ksk)[: lst.n_values]
+    total = lst.glwes.shape[0] * lst.params.polynomial_size
+    n_keep = min(total, 1 << max(0, (lst.n_values - 1)).bit_length())
+    return _expand_program(lst.glwes, keys.casting_ksk, n_keep)[: lst.n_values]

@@ -192,12 +192,16 @@ def _wrap_matmul_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
     numpy's u64 matmul has no SIMD/BLAS path (~440 ms at the production
     M=N=2048 statement); splitting both operands into four 16-bit limbs
-    gives exact f64 products (<= 2^32) whose per-weight partial sums stay
-    under 2^53 for M <= 2^20, and dgemm does the contraction ~20x faster.
-    Only limb pairs with weight < 2^64 survive the wrap. Small problems
-    take the direct u64 path: the 10-matmul limb overhead only wins once
-    the contraction itself dominates (measured crossover ~512x512)."""
-    assert a.shape[-1] <= 1 << 20
+    gives exact f64 products (<= 2^32), and dgemm does the contraction
+    ~20x faster. Exactness bound: weight k sums k+1 <= 4 matmuls of M
+    products < 2^32 each, so the accumulator stays under 2^53 only for
+    M <= 2^19 (4 * 2^19 * 2^32 = 2^53) — larger contractions take the
+    exact u64 path. Only limb pairs with weight < 2^64 survive the wrap.
+    Small problems also go direct: the 10-matmul limb overhead only wins
+    once the contraction dominates (measured crossover ~512x512)."""
+    if a.shape[-1] > 1 << 19:
+        with np.errstate(over="ignore"):
+            return a @ b
     if a.shape[-1] * b.shape[-1] <= 1 << 18:
         with np.errstate(over="ignore"):
             return a @ b
@@ -271,19 +275,18 @@ _PK_DIGEST_CACHE: dict = {}
 def pk_digest(pke_pk) -> bytes:
     """keccak of the full public key (megabytes). The PK is a static
     per-instance object hashed on EVERY prove/verify, so memoize by
-    object identity (weak enough: same id + same shape collision would
-    require a freed-and-reallocated array reused as a DIFFERENT pk in
-    one process while the old entry survives — the shape/sum guard
-    below makes that practically impossible)."""
+    object identity. The cache holds a STRONG reference to the keyed
+    object and checks `is` on hit — a freed-and-reallocated array can
+    never alias a live entry's id, so a hit is always the same object.
+    (In-place mutation of a pk after first use is out of contract.)"""
+    entry = _PK_DIGEST_CACHE.get(id(pke_pk))
+    if entry is not None and entry[0] is pke_pk:
+        return entry[1]
     arr = np.asarray(pke_pk, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        key = (id(pke_pk), arr.shape, int(arr.ravel()[:64].sum()))
-    d = _PK_DIGEST_CACHE.get(key)
-    if d is None:
-        d = keccak256(np.ascontiguousarray(arr).tobytes())
-        if len(_PK_DIGEST_CACHE) > 16:
-            _PK_DIGEST_CACHE.clear()
-        _PK_DIGEST_CACHE[key] = d
+    d = keccak256(np.ascontiguousarray(arr).tobytes())
+    if len(_PK_DIGEST_CACHE) > 16:
+        _PK_DIGEST_CACHE.clear()
+    _PK_DIGEST_CACHE[id(pke_pk)] = (pke_pk, d)
     return d
 
 

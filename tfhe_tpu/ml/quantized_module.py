@@ -343,7 +343,9 @@ class QuantizedModule:
     __call__ = forward
 
     def dump_dict(self):
-        return {"ops": list(self.ops), "n_bits": self.n_bits,
+        # the full four-key config: dumping only op_inputs would make a
+        # re-calibrate after load fit the wrong model_inputs width
+        return {"ops": list(self.ops), "n_bits": dict(self.n_bits_cfg),
                 "input_quantizer": self.input_quantizer}
 
     @classmethod

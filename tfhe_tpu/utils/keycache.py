@@ -50,10 +50,17 @@ def cache_path(params, seed: int, multibit_group: int | None,
 def save_keys(path: str, ck, sk) -> None:
     from tfhe_tpu.utils.serialization import serialize
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # owner-only: the blob contains the SECRET client key, and the
+    # default dir lives under /tmp on shared hosts
+    os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+    try:
+        os.chmod(os.path.dirname(path), 0o700)
+    except OSError:
+        pass
     blob = serialize((ck, sk), max_size=KEY_CACHE_MAX)
     tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)  # atomic: concurrent writers never tear
 
@@ -79,9 +86,15 @@ def load_or_keygen(params, seed: int = 0, multibit_group: int | None = None,
     path = cache_path(params, seed, multibit_group, cache_dir)
     if enabled and os.path.exists(path):
         t0 = time.time()
-        ck, sk = load_keys(path)
-        return ck, sk, {"hit": True, "seconds": time.time() - t0,
-                        "path": path}
+        try:
+            ck, sk = load_keys(path)
+        except Exception:
+            # corrupt / truncated / older-format entry: regenerate and
+            # overwrite rather than failing every process start forever
+            pass
+        else:
+            return ck, sk, {"hit": True, "seconds": time.time() - t0,
+                            "path": path}
     t0 = time.time()
     ck, sk = si.keygen(params, seed=seed, multibit_group=multibit_group)
     # force completion so the measured time covers the device work

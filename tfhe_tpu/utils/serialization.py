@@ -93,9 +93,17 @@ def serialize(obj: Any, max_size: int = MAX_SERIALIZED_SIZE) -> bytes:
 
 
 def _resolve(qualname: str):
+    """Resolve a serialized class name. Restricted to this package: the
+    deserializer instantiates cls(**kwargs), so an unrestricted import
+    would let a crafted blob (network payloads, pre-planted cache files)
+    construct arbitrary classes — e.g. subprocess.Popen — in-process."""
     import importlib
 
     mod, _, name = qualname.partition(":")
+    if not (mod == "tfhe_tpu" or mod.startswith("tfhe_tpu.")):
+        raise SerializationError(
+            f"refusing to resolve class outside tfhe_tpu: {qualname!r}"
+        )
     target = importlib.import_module(mod)
     for part in name.split("."):
         target = getattr(target, part)
