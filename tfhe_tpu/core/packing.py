@@ -32,13 +32,15 @@ from tfhe_tpu.utils.pytree import pytree_dataclass
 U64 = jnp.uint64
 
 
-@pytree_dataclass(meta=("gadget",))
+@pytree_dataclass(meta=("gadget", "shift"))
 class PackingKeyswitchKey:
     """ksk_ntt: (n_in, level, k_out+1, n_primes, 2, N) u32 Shoup pairs --
-    NTT-domain GLWE encryptions of s_in[i] * q/B^(l+1)."""
+    NTT-domain GLWE encryptions of s_in[i] * q/B^(l+1), stored
+    modulus-switched to 64-shift bits (see gen_packing_keyswitch_key)."""
 
     ksk_ntt: jax.Array
     gadget: GadgetParams
+    shift: int = 0
 
     @property
     def n_in(self) -> int:
@@ -53,6 +55,10 @@ def gen_packing_keyswitch_key(
     noise: NoiseDistribution,
     engine: NegacyclicEngine,
 ) -> PackingKeyswitchKey:
+    import math
+
+    from tfhe_tpu.torus import mod_switch
+
     b, l = gadget.base_log, gadget.level
     n_poly = sk_out.n_poly
     shifts = jnp.array([64 - (i + 1) * b for i in range(l)], dtype=U64)
@@ -60,8 +66,20 @@ def gen_packing_keyswitch_key(
     pts = jnp.zeros((sk_in.n, l, n_poly), dtype=U64)
     pts = pts.at[..., 0].set(sk_in.key[:, None] << shifts[None, :])
     ksk = encrypt_glwe(sk_out, pts, rng, noise, engine)  # (n_in, l, k+1, N)
+    # CRT-range headroom: packing_keyswitch sums n_in*level digit x key
+    # NTT products BEFORE the single inverse transform, so the true
+    # integer convolution magnitude gains ceil(log2(n_in*level)) bits on
+    # top of the per-product bound max_product_bits already covers. At
+    # full-width key storage the Garner reconstruction wraps once enough
+    # ciphertexts are packed (seen as garbage outputs for >~96 packed
+    # LWEs at N=256) -- store the key modulus-switched like the BSK
+    # (bootstrap.py msb pattern) and scale back at the inverse transform.
+    headroom = math.ceil(math.log2(sk_in.n * l))
+    msb = min(55, engine.max_product_bits - (b - 1) - headroom)
+    assert msb > 0, "packing-KS parameters exceed the CRT range"
+    f = engine.forward_u64(mod_switch(ksk, msb))
     return PackingKeyswitchKey(
-        ksk_ntt=engine.make_shoup(engine.forward_u64(ksk)), gadget=gadget
+        ksk_ntt=engine.make_shoup(f), gadget=gadget, shift=64 - msb
     )
 
 
@@ -108,7 +126,7 @@ def packing_keyswitch(
         part = jnp.sum(prod.astype(U64), axis=(-5, -4))  # (..., k+1, P, N)
         s = part if s is None else s + part
     f = engine.reduce_u64_domain(s)  # (..., k+1, P, N) u32
-    acc = engine.backward(f)  # (..., k+1, N)
+    acc = engine.backward(f, shift=pksk.shift)  # (..., k+1, N)
     out_ct = -acc
     # add body polynomial to the GLWE body component
     body_poly = jnp.zeros(body.shape[:-1] + (n_poly,), dtype=U64)

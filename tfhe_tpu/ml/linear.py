@@ -61,6 +61,9 @@ class GlweLinearLayerExecutor:
         fhe = FheMode.from_any(fhe)
         x = np.asarray(x, dtype=np.float64)
         xq = UniformQuantizer(self.n_bits_in, is_signed=False).fit(x)
+        # exposed for consumers that must reason on the integer grid
+        # (tree threshold snapping): the quantizer is batch-dynamic
+        self.last_input_quantizer = xq
         x_q = xq.quant(x)  # (B, C) in [0, 2^b)
 
         if fhe == FheMode.EXECUTE:

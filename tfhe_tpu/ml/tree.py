@@ -160,7 +160,13 @@ class _TreeEnsembleBase(SklearnEstimatorMixin):
         return self
 
     def _build_execs(self):
-        p = getattr(self, "params", None)
+        # default to the tree-grade parameter set: the default 8-bit
+        # matmul params' 26-bit output storage leaves ~13.5 LSB of
+        # decrypt noise, which breaks the EXACT step/equality integer
+        # comparisons this lowering depends on (params.TREES_MATMUL)
+        from tfhe_tpu import params as tparams
+
+        p = getattr(self, "params", None) or tparams.TREES_MATMUL
         self._exec_a = GlweLinearLayerExecutor(
             weights=self._a, bias=None, n_bits_in=self.n_bits, n_bits_w=2,
             exact_int_weights=True, params=p,
@@ -188,7 +194,19 @@ class _TreeEnsembleBase(SklearnEstimatorMixin):
         # quantizes activations dynamically like the reference), then the
         # threshold-step TLU
         sel = self._exec_a.forward(X, fhe=fhe)  # (B, n_internal_total)
-        s = (sel > self._thr[None, :]).astype(np.float64)  # TLU: step
+        # Threshold snapping: sel lives on the batch quantization grid
+        # (k - zp) * scale plus sub-LSB decrypt noise. A raw `sel > thr`
+        # is knife-edged when thr collides with a grid point (sklearn
+        # thresholds are data midpoints; collisions at 6 bits are
+        # routine) -- DISABLE resolves the tie exactly, EXECUTE's noise
+        # resolves it randomly. Snapping thr to the neighboring grid
+        # MIDPOINT makes the comparison an integer comparison, immune to
+        # any noise < 0.5 LSB.
+        xq = self._exec_a.last_input_quantizer
+        s_step = float(xq.scale) or 1.0
+        zp = float(xq.zero_point)
+        thr_snap = (np.floor(self._thr / s_step + zp) + 0.5 - zp) * s_step
+        s = (sel > thr_snap[None, :]).astype(np.float64)  # TLU: step
         # stage 2: leaf path match (encrypted GEMM), then equality TLU
         acc = self._exec_l.forward(s, fhe=fhe)  # (B, n_leaves_total)
         # leaf selected iff acc == c (count of satisfied right-branches

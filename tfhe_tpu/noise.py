@@ -26,6 +26,11 @@ from tfhe_tpu.params import (
 
 Q = 2.0**Q_BITS
 
+# the folded CRT engine's modulus product (ops/folded_ntt.FOLDED_PRIMES):
+# noise terms that depend on the PKSK's modulus-switched storage need the
+# same max-product-bits computation as the engine
+_CRT_PROD = 469762049 * 754974721 * 998244353
+
 
 def keyswitch_variance(
     n_in: int, gadget: GadgetParams, key_noise_var: float
@@ -155,10 +160,24 @@ def matmul_output_variance(
     pks_var = keyswitch_variance(
         k * n_poly, params.packing_ks, params.packing_ks_noise.variance_torus()
     )
+    # PKSK storage rounding: the packing key is modulus-switched for CRT
+    # summation headroom (core/packing.py); per key coefficient the
+    # rounding error is U(+-2^(shift-1)) scaled back by 2^shift, each
+    # digit x error product convolves over up to N packed positions and
+    # sums across n_in*level rows (worst case t = N)
+    b, lvl = params.packing_ks.base_log, params.packing_ks.level
+    n_in = k * n_poly
+    maxpb = math.floor(math.log2(_CRT_PROD / 2) - math.log2(n_poly))
+    msb = min(55, maxpb - (b - 1) - math.ceil(math.log2(n_in * lvl)))
+    shift = 64 - msb
+    e_d2 = (2.0 ** (2 * b - 2)) / 3.0  # E[digit^2], balanced digits
+    pks_round_var = (
+        n_poly * n_in * lvl * e_d2 * (2.0 ** (2 * shift)) / 12.0
+    )
     # storage modulus switch rounding
     tail = Q / (2.0**params.ct_modulus_out_bits)
     ms_var = (tail**2) / 12.0 * (1.0 + k * n_poly * 0.25)
-    return dot_var + pks_var + ms_var
+    return dot_var + pks_var + pks_round_var + ms_var
 
 
 def matmul_noise_profile(params, inner_dims=(2048, 4096, 8192)) -> dict:

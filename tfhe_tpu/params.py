@@ -283,6 +283,20 @@ PARAMS_8B_2048 = MatmulParams(
     ct_modulus_out_bits=26,
 )
 
+# Tree-ensemble matmul params: the tree lowering consumes EXACT small
+# integers (threshold steps, leaf-path equality counts), so the decrypt
+# error must sit far below 0.5 accumulator LSB. PARAMS_8B_2048's 26-bit
+# output storage leaves ~13.5 LSB of modulus-switch noise (fine for
+# wide 8-bit dot products, fatal for equality): widening the output
+# modulus to 32 bits and spending fewer compute bits (values are < 2^8)
+# puts the noise at ~0.002 LSB.
+TREES_MATMUL = dataclasses.replace(
+    PARAMS_8B_2048,
+    name="TREES_MATMUL",
+    bits_reserved_for_computation=20,
+    ct_modulus_out_bits=32,
+)
+
 # ---------------------------------------------------------------------------
 # Toy sets: NO security, exact algorithms. Used by the CPU test-suite so the
 # full pipeline (NTT -> external product -> blind rotation -> keyswitch) runs
