@@ -139,21 +139,30 @@ def matrix_multiplication(
     n = p.polynomial_size
     engine = get_engine(n)
     w = np.asarray(clear)
-    # forward_small's digit planes are exact only for |w| <= 2^23
-    # (ops/folded_ntt.forward_small); larger weights would silently wrap
-    # into wrong decrypts, so reject them here. Quantized weights are
-    # far smaller (reference fhext_classes.rs:100-114 budgets 27 bits
-    # for the whole input x weight product).
-    if np.abs(w.astype(np.int64)).max(initial=0) > (1 << 23):
-        raise ValueError(
-            "matrix_multiplication: |clear| entries must be <= 2^23 "
-            "(quantized-weight contract; see forward_small)"
-        )
-    w = jnp.asarray(w)
     c, o = w.shape
     assert c == enc.n_valid
     r = enc.shape[0]
     n_chunks = enc.glwes.shape[1]
+    # CRT exactness bound: each output coefficient is a sum over
+    # n_chunks negacyclic convolutions of full-width ciphertext words
+    # (< 2^64) against clear weights; the true integer magnitude must
+    # stay under the engine's reconstruction range or Garner wraps into
+    # garbage decrypts (measured: weights past this bound flip sign at
+    # TOY N=256). max_product_bits already covers the N-fold sum and
+    # sign, leaving maxpb - 64 - log2(n_chunks) bits for the weight.
+    import math
+
+    w_bits = engine.max_product_bits - 64 - max(
+        0, math.ceil(math.log2(n_chunks))
+    )
+    if np.abs(w.astype(np.int64)).max(initial=0) >= (1 << w_bits):
+        raise ValueError(
+            f"matrix_multiplication: |clear| entries must be < 2^{w_bits} "
+            "at these parameters (CRT reconstruction range; quantized "
+            "weights are far smaller, fhext_classes.rs:100-114 budgets "
+            "27 bits for the whole input x weight product)"
+        )
+    w = jnp.asarray(w)
 
     # clear operand: chunk, reverse within chunk so the dot lands on coeff
     # N-1 of each chunk product (wrap-free by construction)
