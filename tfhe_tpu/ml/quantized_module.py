@@ -460,11 +460,12 @@ def compile_torch_model(
 
 
 def compile_onnx_model(onnx_model, inputset, n_bits: int = 8, **kw):
-    """Reference torch/compile.py:369. The onnx package is not vendored
-    in this environment; the torch path covers the same model families."""
-    raise NotImplementedError(
-        "onnx is not available in this build; use compile_torch_model"
-    )
+    """Reference torch/compile.py:369: delegate to the from-scratch ONNX
+    frontend (wire-format parser, no onnx package needed). `onnx_model`
+    is a path or serialized ModelProto bytes."""
+    from tfhe_tpu.ml.onnx_frontend import compile_onnx_model as _compile
+
+    return _compile(onnx_model, inputset, n_bits=n_bits, **kw)
 
 
 def compile_brevitas_qat_model(model, inputset, n_bits: int = 8, **kw):
