@@ -39,3 +39,9 @@ def test_hybrid_serving_demo():
     r = _run("examples/hybrid_serving_demo.py")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_fhe_digits_demo():
+    r = _run("examples/fhe_digits_demo.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "all under FHE" in r.stdout
