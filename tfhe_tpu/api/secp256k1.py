@@ -68,8 +68,19 @@ def _add(p1, p2):
     return (x3, y3, z3)
 
 
+def _native():
+    """The C scalar-mult core (native/native.c), cross-checked against
+    this module's ladder in tests; None when no compiler is available."""
+    from tfhe_tpu import native
+
+    return native if native.ec_available() else None
+
+
 def _mul(pt, k: int):
     k %= N
+    nat = _native()
+    if nat is not None:
+        return nat.ec_mul(pt, k)
     acc = (0, 1, 0)
     while k:
         if k & 1:
@@ -99,6 +110,9 @@ def _build_base_tab():
 
 def _mul_base(k: int):
     """k * G via the fixed-base window table."""
+    nat = _native()
+    if nat is not None:
+        return nat.ec_mul(_G, k % N)
     global _BASE_TAB
     if _BASE_TAB is None:
         _BASE_TAB = _build_base_tab()
@@ -120,6 +134,9 @@ def _mul_shamir(p1, k1: int, k2: int):
     ladder instead of two)."""
     k1 %= N
     k2 %= N
+    nat = _native()
+    if nat is not None:
+        return nat.ec_mul2(p1, k1, _G, k2)
     both = _add(p1, _G)
     acc = (0, 1, 0)
     for i in range(max(k1.bit_length(), k2.bit_length()) - 1, -1, -1):
@@ -139,6 +156,9 @@ def _affine(pt):
     x, y, z = pt
     if z == 0:
         raise ValueError("point at infinity")
+    nat = _native()
+    if nat is not None:
+        return nat.ec_affine(pt)
     zi = _inv(z, P)
     zi2 = zi * zi % P
     return x * zi2 % P, y * zi2 % P * zi % P

@@ -126,3 +126,71 @@ def bitunpack(data: bytes, bits: int, count: int) -> np.ndarray:
         buf, count, bits, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     )
     return out
+
+
+# -- secp256k1 scalar multiplication ------------------------------------------
+
+
+def _setup_ec(lib):
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.tfhe_ec_mul.argtypes = [u64p, u64p, u64p]
+    lib.tfhe_ec_mul2.argtypes = [u64p, u64p, u64p, u64p, u64p]
+    lib.tfhe_ec_affine.argtypes = [u64p, u64p]
+    lib.tfhe_ec_affine.restype = ctypes.c_int
+    lib.__ec_ready = True
+
+
+def _limbs(v: int):
+    return (ctypes.c_uint64 * 4)(*[(v >> (64 * i)) & ((1 << 64) - 1)
+                                   for i in range(4)])
+
+
+def _pt_limbs(pt):
+    x, y, z = pt
+    arr = (ctypes.c_uint64 * 12)()
+    for j, v in enumerate((x, y, z)):
+        for i in range(4):
+            arr[j * 4 + i] = (v >> (64 * i)) & ((1 << 64) - 1)
+    return arr
+
+
+def _pt_from(arr):
+    vals = [sum(int(arr[j * 4 + i]) << (64 * i) for i in range(4))
+            for j in range(3)]
+    return tuple(vals)
+
+
+def ec_available() -> bool:
+    lib = _load()
+    if lib is None or not hasattr(lib, "tfhe_ec_mul"):
+        return False
+    if not getattr(lib, "__ec_ready", False):
+        _setup_ec(lib)
+    return True
+
+
+def ec_mul(pt, k: int):
+    """k * P over secp256k1, Jacobian (x, y, z) int tuples."""
+    lib = _load()
+    out = (ctypes.c_uint64 * 12)()
+    lib.tfhe_ec_mul(_pt_limbs(pt), _limbs(k), out)
+    return _pt_from(out)
+
+
+def ec_mul2(a, ka: int, b, kb: int):
+    """ka * A + kb * B (shared-doubling ladder)."""
+    lib = _load()
+    out = (ctypes.c_uint64 * 12)()
+    lib.tfhe_ec_mul2(_pt_limbs(a), _limbs(ka), _pt_limbs(b), _limbs(kb), out)
+    return _pt_from(out)
+
+
+def ec_affine(pt):
+    """Jacobian -> affine (x, y); raises at infinity."""
+    lib = _load()
+    out = (ctypes.c_uint64 * 8)()
+    if not lib.tfhe_ec_affine(_pt_limbs(pt), out):
+        raise ValueError("point at infinity")
+    x = sum(int(out[i]) << (64 * i) for i in range(4))
+    y = sum(int(out[4 + i]) << (64 * i) for i in range(4))
+    return x, y

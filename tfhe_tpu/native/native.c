@@ -132,3 +132,268 @@ void tfhe_bitunpack(const uint8_t *in, size_t n, int bits, uint32_t *out) {
     bitpos += (size_t)bits;
   }
 }
+
+/* ---------------------------------------------------------------------------
+ * secp256k1 Jacobian scalar multiplication (host-side protocol crypto).
+ *
+ * The reference verifies coprocessor/KMS EIP-712 signatures with ethers'
+ * native secp256k1; the Python implementation in api/secp256k1.py is the
+ * semantics oracle and fallback, this is the fast path for the serving
+ * loop (sign/recover per quorum member per input). NOT constant-time --
+ * acceptable for the dev/test quorums this framework runs in-process
+ * (the Python path has the same property, documented there).
+ *
+ * Field: p = 2^256 - 2^32 - 977. Elements are 4 little-endian u64 limbs,
+ * kept canonical (< p). 2^256 == PC (mod p) with PC = 2^32 + 977.
+ * ------------------------------------------------------------------------- */
+
+typedef unsigned __int128 u128;
+
+static const uint64_t EC_P[4] = {
+    0xFFFFFFFEFFFFFC2FULL, 0xFFFFFFFFFFFFFFFFULL,
+    0xFFFFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL};
+#define EC_PC 0x1000003D1ULL /* 2^256 mod p */
+
+static int fe_cmp(const uint64_t a[4], const uint64_t b[4]) {
+  for (int i = 3; i >= 0; i--) {
+    if (a[i] < b[i]) return -1;
+    if (a[i] > b[i]) return 1;
+  }
+  return 0;
+}
+
+static int fe_is_zero(const uint64_t a[4]) {
+  return (a[0] | a[1] | a[2] | a[3]) == 0;
+}
+
+/* r = a - b, assuming a >= b */
+static void fe_sub_nob(uint64_t r[4], const uint64_t a[4], const uint64_t b[4]) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 t = (u128)a[i] - b[i] - (uint64_t)borrow;
+    r[i] = (uint64_t)t;
+    borrow = (t >> 64) & 1;
+  }
+}
+
+static void fe_add(uint64_t r[4], const uint64_t a[4], const uint64_t b[4]) {
+  u128 c = 0;
+  uint64_t t[4];
+  for (int i = 0; i < 4; i++) {
+    c += (u128)a[i] + b[i];
+    t[i] = (uint64_t)c;
+    c >>= 64;
+  }
+  if (c) { /* value = t + 2^256; subtract p by adding PC (no carry: t < p) */
+    u128 c2 = (u128)t[0] + EC_PC;
+    t[0] = (uint64_t)c2;
+    for (int i = 1; i < 4; i++) {
+      c2 = (c2 >> 64) + t[i];
+      t[i] = (uint64_t)c2;
+    }
+  } else if (fe_cmp(t, EC_P) >= 0) {
+    fe_sub_nob(t, t, EC_P);
+  }
+  r[0] = t[0]; r[1] = t[1]; r[2] = t[2]; r[3] = t[3];
+}
+
+static void fe_sub(uint64_t r[4], const uint64_t a[4], const uint64_t b[4]) {
+  if (fe_cmp(a, b) >= 0) {
+    fe_sub_nob(r, a, b);
+  } else {
+    uint64_t t[4];
+    fe_sub_nob(t, EC_P, b);
+    fe_add(r, a, t); /* a + (p - b), both < p */
+  }
+}
+
+static void fe_mul(uint64_t r[4], const uint64_t a[4], const uint64_t b[4]) {
+  uint64_t lo[4], hi[4];
+  u128 acc = 0;
+  uint64_t prod[8] = {0};
+  /* schoolbook 4x4 */
+  for (int k = 0; k < 7; k++) {
+    u128 carry = 0;
+    for (int i = (k < 4 ? 0 : k - 3); i <= (k < 4 ? k : 3); i++) {
+      u128 t = (u128)a[i] * b[k - i];
+      acc += (uint64_t)t;
+      carry += (uint64_t)(t >> 64);
+    }
+    prod[k] = (uint64_t)acc;
+    acc = (acc >> 64) + carry;
+  }
+  prod[7] = (uint64_t)acc;
+  for (int i = 0; i < 4; i++) { lo[i] = prod[i]; hi[i] = prod[i + 4]; }
+  /* fold: value = lo + hi * PC  (hi*PC < 2^290) */
+  uint64_t m[5];
+  u128 c = 0;
+  for (int i = 0; i < 4; i++) {
+    c += (u128)hi[i] * EC_PC + lo[i];
+    m[i] = (uint64_t)c;
+    c >>= 64;
+  }
+  m[4] = (uint64_t)c; /* < 2^34 */
+  /* fold again: m[4] * PC into the low limbs */
+  c = (u128)m[4] * EC_PC + m[0];
+  uint64_t t[4];
+  t[0] = (uint64_t)c;
+  c >>= 64;
+  for (int i = 1; i < 4; i++) {
+    c += m[i];
+    t[i] = (uint64_t)c;
+    c >>= 64;
+  }
+  if (c) { /* one last carry: add PC once (t < p afterwards) */
+    u128 c2 = (u128)t[0] + EC_PC;
+    t[0] = (uint64_t)c2;
+    for (int i = 1; i < 4; i++) {
+      c2 = (c2 >> 64) + t[i];
+      t[i] = (uint64_t)c2;
+    }
+  }
+  while (fe_cmp(t, EC_P) >= 0) fe_sub_nob(t, t, EC_P);
+  r[0] = t[0]; r[1] = t[1]; r[2] = t[2]; r[3] = t[3];
+}
+
+static void fe_sqr(uint64_t r[4], const uint64_t a[4]) { fe_mul(r, a, a); }
+
+static void fe_inv(uint64_t r[4], const uint64_t a[4]) {
+  /* Fermat: a^(p-2) by square-and-multiply over the fixed exponent */
+  uint64_t e[4];
+  fe_sub_nob(e, EC_P, (const uint64_t[4]){2, 0, 0, 0});
+  uint64_t acc[4] = {1, 0, 0, 0}, base[4];
+  memcpy(base, a, 32);
+  for (int i = 0; i < 256; i++) {
+    if ((e[i >> 6] >> (i & 63)) & 1) fe_mul(acc, acc, base);
+    fe_sqr(base, base);
+  }
+  memcpy(r, acc, 32);
+}
+
+/* Jacobian point: x, y, z (z == 0 encodes infinity) */
+typedef struct { uint64_t x[4], y[4], z[4]; } ecpt;
+
+static void pt_dbl(ecpt *o, const ecpt *p) {
+  if (fe_is_zero(p->z) || fe_is_zero(p->y)) {
+    memset(o, 0, sizeof(*o));
+    o->y[0] = 1;
+    return;
+  }
+  uint64_t y2[4], s[4], m[4], t[4], x2[4], y4[4];
+  fe_sqr(y2, p->y);
+  fe_mul(s, p->x, y2);
+  fe_add(s, s, s); fe_add(s, s, s);            /* s = 4xy^2 */
+  fe_sqr(m, p->x); fe_add(t, m, m); fe_add(m, t, m); /* m = 3x^2 */
+  fe_sqr(x2, m);
+  fe_add(t, s, s);
+  fe_sub(x2, x2, t);                            /* x' = m^2 - 2s */
+  fe_sqr(y4, y2);                               /* y^4 */
+  fe_add(y4, y4, y4); fe_add(y4, y4, y4); fe_add(y4, y4, y4); /* 8y^4 */
+  fe_sub(t, s, x2);
+  fe_mul(t, m, t);
+  fe_sub(t, t, y4);                             /* y' = m(s-x') - 8y^4 */
+  uint64_t z2[4];
+  fe_mul(z2, p->y, p->z);
+  fe_add(z2, z2, z2);                           /* z' = 2yz */
+  memcpy(o->x, x2, 32); memcpy(o->y, t, 32); memcpy(o->z, z2, 32);
+}
+
+static void pt_add(ecpt *o, const ecpt *p, const ecpt *q) {
+  if (fe_is_zero(p->z)) { *o = *q; return; }
+  if (fe_is_zero(q->z)) { *o = *p; return; }
+  uint64_t zz1[4], zz2[4], u1[4], u2[4], s1[4], s2[4];
+  fe_sqr(zz1, p->z); fe_sqr(zz2, q->z);
+  fe_mul(u1, p->x, zz2); fe_mul(u2, q->x, zz1);
+  fe_mul(s1, p->y, zz2); fe_mul(s1, s1, q->z);
+  fe_mul(s2, q->y, zz1); fe_mul(s2, s2, p->z);
+  if (fe_cmp(u1, u2) == 0) {
+    if (fe_cmp(s1, s2) != 0) {
+      memset(o, 0, sizeof(*o));
+      o->y[0] = 1;
+      return;
+    }
+    pt_dbl(o, p);
+    return;
+  }
+  uint64_t h[4], rr[4], hh[4], hhh[4], v[4], t[4];
+  fe_sub(h, u2, u1);
+  fe_sub(rr, s2, s1);
+  fe_sqr(hh, h);
+  fe_mul(hhh, hh, h);
+  fe_mul(v, u1, hh);
+  fe_sqr(t, rr);
+  fe_sub(t, t, hhh);
+  uint64_t v2[4];
+  fe_add(v2, v, v);
+  fe_sub(t, t, v2);                             /* x3 */
+  uint64_t y3[4];
+  fe_sub(y3, v, t);
+  fe_mul(y3, rr, y3);
+  uint64_t s1h[4];
+  fe_mul(s1h, s1, hhh);
+  fe_sub(y3, y3, s1h);                          /* y3 */
+  uint64_t z3[4];
+  fe_mul(z3, h, p->z);
+  fe_mul(z3, z3, q->z);
+  memcpy(o->x, t, 32); memcpy(o->y, y3, 32); memcpy(o->z, z3, 32);
+}
+
+static int scalar_bits(const uint64_t k[4]) {
+  for (int i = 3; i >= 0; i--)
+    if (k[i]) {
+      int b = 63;
+      while (!((k[i] >> b) & 1)) b--;
+      return i * 64 + b + 1;
+    }
+  return 0;
+}
+
+/* out = k * P. in/out: x,y,z as 12 consecutive u64 limbs. */
+void tfhe_ec_mul(const uint64_t *pt, const uint64_t *k, uint64_t *out) {
+  ecpt p, acc;
+  memcpy(&p, pt, 96);
+  memset(&acc, 0, sizeof(acc));
+  acc.y[0] = 1;
+  int nb = scalar_bits(k);
+  for (int i = nb - 1; i >= 0; i--) {
+    pt_dbl(&acc, &acc);
+    if ((k[i >> 6] >> (i & 63)) & 1) pt_add(&acc, &acc, &p);
+  }
+  memcpy(out, &acc, 96);
+}
+
+/* out = ka * A + kb * B (Strauss-Shamir shared-doubling ladder). */
+void tfhe_ec_mul2(const uint64_t *a, const uint64_t *ka, const uint64_t *b,
+                  const uint64_t *kb, uint64_t *out) {
+  ecpt pa, pb, both, acc;
+  memcpy(&pa, a, 96);
+  memcpy(&pb, b, 96);
+  pt_add(&both, &pa, &pb);
+  memset(&acc, 0, sizeof(acc));
+  acc.y[0] = 1;
+  int na = scalar_bits(ka), nbb = scalar_bits(kb);
+  int nb = na > nbb ? na : nbb;
+  for (int i = nb - 1; i >= 0; i--) {
+    pt_dbl(&acc, &acc);
+    int b1 = (ka[i >> 6] >> (i & 63)) & 1;
+    int b2 = (kb[i >> 6] >> (i & 63)) & 1;
+    if (b1 && b2) pt_add(&acc, &acc, &both);
+    else if (b1) pt_add(&acc, &acc, &pa);
+    else if (b2) pt_add(&acc, &acc, &pb);
+  }
+  memcpy(out, &acc, 96);
+}
+
+/* affine conversion: out_xy = (x/z^2, y/z^3); returns 0 at infinity */
+int tfhe_ec_affine(const uint64_t *pt, uint64_t *out_xy) {
+  ecpt p;
+  memcpy(&p, pt, 96);
+  if (fe_is_zero(p.z)) return 0;
+  uint64_t zi[4], zi2[4], zi3[4];
+  fe_inv(zi, p.z);
+  fe_sqr(zi2, zi);
+  fe_mul(zi3, zi2, zi);
+  fe_mul(out_xy, p.x, zi2);
+  fe_mul(out_xy + 4, p.y, zi3);
+  return 1;
+}
