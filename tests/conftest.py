@@ -25,9 +25,12 @@ jax.config.update("jax_platforms", "cpu")
 # initializing it blocks forever inside make_c_api_client (the register
 # hook walks backends(), which would init every registered platform),
 # hanging the whole suite. The suite is CPU-only by design.
-from jax._src import xla_bridge as _xb  # noqa: E402
+try:
+    from jax._src import xla_bridge as _xb  # noqa: E402
 
-_xb._backend_factories.pop("axon", None)
+    _xb._backend_factories.pop("axon", None)
+except Exception:  # private API: a jax upgrade must not kill collection
+    pass
 
 # Persistent compilation cache: PBS programs recompile identically across
 # test runs; caching them cuts suite time substantially. The dir is keyed

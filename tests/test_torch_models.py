@@ -109,3 +109,39 @@ def test_simulate_and_execute_paths():
     clear = qm.forward(x[:2].astype(np.float64))
     scale = np.abs(clear).max() or 1.0
     assert np.abs(enc - clear).max() / scale < 0.15
+
+
+def test_reduce_sum_multi_axis_and_all():
+    """Opset-13 ReduceSum edge semantics: multi-axis lists reduce
+    jointly; MISSING axes reduce everything (both silently truncated to
+    one axis before round 3)."""
+
+    class MultiAxis(torch.nn.Module):
+        def forward(self, x):
+            return x.sum(dim=(1, 2))
+
+    class All(torch.nn.Module):
+        def forward(self, x):
+            return x.sum()
+
+    x = _vec((6, 3, 4))
+    for net in (MultiAxis().eval(), All().eval()):
+        blob = export_onnx_bytes(net, (torch.tensor(x[:1]),))
+        qm = compile_onnx_model(blob, x, n_bits=8, keygen=False)
+        got = qm.forward(x.astype(np.float64))
+        q = qm.input_quantizer
+        xq = q.dequant(q.quant(x.astype(np.float64))).astype(np.float32)
+        want = net(torch.tensor(xq)).detach().numpy()
+        assert np.shape(got) == np.shape(want), (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_single_input_list_data_is_not_a_bundle():
+    """A plain nested list is DATA for a single-input graph, not a
+    multi-input tuple (regression: each row became its own input)."""
+    net = zoo.FCSmall().eval()
+    x = _vec((12, 5))
+    qm = compile_torch_model_via_onnx(net, x.tolist(), n_bits=8,
+                                      keygen=False)
+    got = qm.forward(x.astype(np.float64).tolist())
+    assert np.shape(got) == (12, 5)

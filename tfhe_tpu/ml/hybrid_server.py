@@ -31,6 +31,10 @@ class HybridFHEModelServer:
     """Per-(model_name, module_name) registry of deployed linear modules
     (reference hybrid_model.py:900: modules dict + key store)."""
 
+    # uploaded evaluation keys are multi-MB: cap the store and evict the
+    # oldest (clients re-upload transparently via add_key on a miss)
+    MAX_KEYS = 256
+
     def __init__(self):
         self.modules: dict[str, dict[str, dict[str, Any]]] = {}
         self.keys: dict[str, bytes] = {}
@@ -59,10 +63,15 @@ class HybridFHEModelServer:
             pass
         tmp = tempfile.mkdtemp(prefix="tfhe_hybrid_")
         FHEModelDev(tmp, model).save()
-        self.modules.setdefault(model_name, {})[module_name] = {
+        old = self.modules.setdefault(model_name, {}).get(module_name)
+        self.modules[model_name][module_name] = {
             "path": tmp,
             "server": FHEModelServer(tmp),
         }
+        if old is not None:  # re-registration: reclaim the old artifacts
+            import shutil
+
+            shutil.rmtree(old["path"], ignore_errors=True)
 
     def _entry(self, model_name: str, module_name: str) -> dict:
         try:
@@ -89,6 +98,8 @@ class HybridFHEModelServer:
         """Store evaluation keys, return their uid (reference :974-996)."""
         self._entry(model_name, module_name)
         uid = str(uuid.uuid4())
+        while len(self.keys) >= self.MAX_KEYS:
+            self.keys.pop(next(iter(self.keys)))  # FIFO eviction
         self.keys[uid] = key
         return {"uid": uid}
 
@@ -189,8 +200,29 @@ class HybridHTTPServer:
                     self._json(404, {"error": str(e)})
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n))
+                # parse INSIDE the handler: a malformed body must produce
+                # a 400 response, not an unanswered connection; a missing
+                # JSON field is a 400, an unknown module/uid is the 404
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n))
+                    if not isinstance(body, dict):
+                        raise ValueError("body must be a JSON object")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                needed = {
+                    "/add_key": ("key", "model_name", "module_name"),
+                    "/compute": ("model_input", "uid", "model_name",
+                                 "module_name"),
+                }.get(self.path)
+                if needed is None:
+                    self._json(404, {"error": "not found"})
+                    return
+                missing = [k for k in needed if k not in body]
+                if missing:
+                    self._json(400, {"error": f"missing fields: {missing}"})
+                    return
                 try:
                     if self.path == "/add_key":
                         r = core.add_key(
@@ -199,7 +231,7 @@ class HybridHTTPServer:
                             body["module_name"],
                         )
                         self._json(200, r)
-                    elif self.path == "/compute":
+                    else:
                         out = core.compute(
                             base64.b64decode(body["model_input"]),
                             body["uid"],
@@ -207,8 +239,6 @@ class HybridHTTPServer:
                             body["module_name"],
                         )
                         self._json(200, {"result": base64.b64encode(out).decode()})
-                    else:
-                        self._json(404, {"error": "not found"})
                 except KeyError as e:
                     self._json(404, {"error": str(e)})
 
@@ -250,13 +280,19 @@ class HTTPTransport:
             return json.loads(r.read())
 
     def get_client(self, model_name, module_name) -> bytes:
-        return self._get(
-            f"/get_client?model_name={model_name}&module_name={module_name}"
-        )
+        from urllib.parse import urlencode
+
+        return self._get("/get_client?" + urlencode(
+            {"model_name": model_name, "module_name": module_name}
+        ))
 
     def list_modules(self, model_name) -> list[str]:
+        from urllib.parse import urlencode
+
         return json.loads(
-            self._get(f"/list_modules?model_name={model_name}")
+            self._get("/list_modules?" + urlencode(
+                {"model_name": model_name}
+            ))
         )["modules"]
 
     def add_key(self, key: bytes, model_name, module_name) -> dict:

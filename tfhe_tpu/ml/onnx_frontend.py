@@ -474,7 +474,7 @@ def graph_to_module(g: OnnxGraph, n_bits=8) -> qo.QuantizedGraphModule:
     }
     nodes: list[qo.GraphNode] = []
     qdq_ids: set = set()  # node ids produced by QuantizeLinear
-    input_qdq: list = []  # fixed quantizer of the graph input, if QAT
+    input_qdq: dict = {}  # input id -> fixed trained quantizer, if QAT
 
     def add(op, input_ids) -> int:
         nodes.append(qo.GraphNode(op, tuple(input_ids)))
@@ -589,7 +589,9 @@ def graph_to_module(g: OnnxGraph, n_bits=8) -> qo.QuantizedGraphModule:
                 tuple(resolve(i) for i in node.inputs),
             )
         elif op_t == "ReduceSum":
-            # opset >= 13: axes arrive as a (constant) second input
+            # opset >= 13: axes arrive as a (constant) second input;
+            # MISSING axes means reduce over ALL axes (ONNX spec) --
+            # and multi-axis lists reduce jointly, not axes[0] only
             axis = node.attrs.get("axes")
             if axis is None and len(node.inputs) > 1 and node.inputs[1]:
                 axis = [
@@ -598,10 +600,12 @@ def graph_to_module(g: OnnxGraph, n_bits=8) -> qo.QuantizedGraphModule:
                         g.initializers[node.inputs[1]].data
                     ).reshape(-1)
                 ]
-            axis = axis or [-1]
+            if axis is not None:
+                axis = tuple(int(a) for a in axis) if len(axis) != 1 \
+                    else int(axis[0])
             out = add(
                 qo.QuantizedReduceSum(
-                    axis=int(axis[0]),
+                    axis=axis,
                     keepdims=bool(node.attrs.get("keepdims", 1)),
                 ),
                 (resolve(node.inputs[0]),),
@@ -787,8 +791,10 @@ def graph_to_module(g: OnnxGraph, n_bits=8) -> qo.QuantizedGraphModule:
                 (src,),
             )
             qdq_ids.add(out)
-            if src == "input":
-                input_qdq.append(nodes[out].op)
+            if isinstance(src, str) and src.startswith("input"):
+                # trained quantizer on ANY graph input (multi-input QAT
+                # graphs carry one Q/DQ pair per input)
+                input_qdq[src] = nodes[out].op
         elif op_t == "DequantizeLinear":
             src = resolve(node.inputs[0])
             if src in qdq_ids:
@@ -816,14 +822,18 @@ def graph_to_module(g: OnnxGraph, n_bits=8) -> qo.QuantizedGraphModule:
     if input_qdq:
         from tfhe_tpu.ml.quantization import UniformQuantizer
 
-        op = input_qdq[0]
-        q = UniformQuantizer(
-            n_bits=(op.qmax - op.qmin + 1).bit_length() - 1,
-            is_signed=op.qmin < 0,
-        )
-        q.scale = np.float64(op.scale)
-        q.zero_point = np.float64(op.zero_point)
-        qm.preset_input_quantizer = q
+        presets = {}
+        for src, op in input_qdq.items():
+            idx = 0 if src == "input" else int(src.split(":")[1])
+            q = UniformQuantizer(
+                n_bits=(op.qmax - op.qmin + 1).bit_length() - 1,
+                is_signed=op.qmin < 0,
+            )
+            q.scale = np.float64(op.scale)
+            q.zero_point = np.float64(op.zero_point)
+            presets[idx] = q
+        qm.preset_input_quantizers = presets
+        qm.preset_input_quantizer = presets.get(0)
     return qm
 
 
@@ -860,9 +870,7 @@ def compile_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0,
     keygen=False skips FHE key generation (DISABLE/SIMULATE-only use;
     call .compile() before fhe='execute'). `params` overrides the GLWE
     matmul parameter set for the linear nodes."""
-    if isinstance(model, (str, bytes)) and not (
-        isinstance(model, bytes) and model[:1] != b"\x08" and False
-    ):
+    if isinstance(model, (str, bytes)):
         data = open(model, "rb").read() if isinstance(model, str) else model
     else:
         raise TypeError("model must be a path or serialized ModelProto bytes")
@@ -875,8 +883,10 @@ def compile_onnx_model(model, x_cal, n_bits: int = 8, seed: int = 0,
 
 
 def _cal_inputs(x_cal):
-    """Calibration data: one array, or a tuple of arrays for multi-input
-    graphs (kept as-is for QuantizedGraphModule.calibrate)."""
-    if isinstance(x_cal, (tuple, list)):
+    """Calibration data: one array, or a TUPLE of arrays for multi-input
+    graphs. A plain list is single-input DATA (np.asarray coerces it) --
+    only tuples mark multi-input bundles, matching
+    QuantizedGraphModule._as_inputs."""
+    if isinstance(x_cal, tuple):
         return tuple(np.asarray(v, np.float64) for v in x_cal)
     return np.asarray(x_cal, np.float64)

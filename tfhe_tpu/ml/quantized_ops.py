@@ -372,15 +372,20 @@ class QuantizedConcat(GraphOp):
 
 @dataclasses.dataclass
 class QuantizedReduceSum(QuantizedOp):
-    axis: int = -1
+    # int, tuple of ints, or None (= reduce ALL axes, the ONNX
+    # missing-axes semantics)
+    axis: object = -1
     keepdims: bool = False
 
     def calibrate(self, x):
         return self.forward(x, FheMode.DISABLE)
 
     def forward(self, x, fhe):
+        ax = self.axis
+        if isinstance(ax, (list, tuple)):
+            ax = tuple(int(a) for a in ax)
         return np.asarray(x, np.float64).sum(
-            axis=self.axis, keepdims=self.keepdims
+            axis=ax, keepdims=self.keepdims
         )
 
 
@@ -559,14 +564,19 @@ class QuantizedGraphModule:
         self.n_bits_cfg = get_n_bits_dict(n_bits)
         self.n_bits = self.n_bits_cfg["model_inputs"]
         self.input_quantizer: UniformQuantizer | None = None
-        # QAT import: a model-provided input quantizer (scale/zero-point
-        # from training) overrides calibration fitting
+        # QAT import: model-provided input quantizers (scale/zero-point
+        # from training) override calibration fitting -- per input index
+        # for multi-input graphs; preset_input_quantizer is the input-0
+        # compatibility alias
         self.preset_input_quantizer: UniformQuantizer | None = None
+        self.preset_input_quantizers: dict = {}
         self._compiled = False
 
     @staticmethod
     def _as_inputs(x) -> tuple:
-        return tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        # TUPLE = multi-input bundle; a plain list is DATA (callers pass
+        # nested lists for single-input arrays, which np.asarray coerces)
+        return x if isinstance(x, tuple) else (x,)
 
     def _run(self, x, fhe, calibrate=False):
         xs = self._as_inputs(x)
@@ -588,13 +598,14 @@ class QuantizedGraphModule:
         xs = tuple(
             np.asarray(v, np.float64) for v in self._as_inputs(x_cal)
         )
+        presets = dict(getattr(self, "preset_input_quantizers", None) or {})
         if self.preset_input_quantizer is not None:
-            self.input_quantizers = [self.preset_input_quantizer] * len(xs)
-        else:
-            self.input_quantizers = [
-                UniformQuantizer(self.n_bits, is_signed=True).fit(v)
-                for v in xs
-            ]
+            presets.setdefault(0, self.preset_input_quantizer)
+        self.input_quantizers = [
+            presets[i] if i in presets
+            else UniformQuantizer(self.n_bits, is_signed=True).fit(v)
+            for i, v in enumerate(xs)
+        ]
         self.input_quantizer = self.input_quantizers[0]
         self._run(xs, FheMode.DISABLE, calibrate=True)
         return self

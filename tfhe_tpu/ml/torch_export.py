@@ -107,11 +107,20 @@ def export_onnx_bytes(model, args: Any, **export_kwargs) -> bytes:
     which is what the frontend lowers."""
     import torch
 
+    installed = "onnx" not in sys.modules
     _install_onnx_stub()
-    buf = io.BytesIO()
-    export_kwargs.setdefault("dynamo", False)
-    torch.onnx.export(model, args, buf, **export_kwargs)
-    return buf.getvalue()
+    try:
+        buf = io.BytesIO()
+        export_kwargs.setdefault("dynamo", False)
+        torch.onnx.export(model, args, buf, **export_kwargs)
+        return buf.getvalue()
+    finally:
+        # scope the stub to this export: leaving it in sys.modules would
+        # shadow a real onnx package for the rest of the process
+        if installed and getattr(
+            sys.modules.get("onnx"), "__tfhe_tpu_stub__", False
+        ):
+            del sys.modules["onnx"]
 
 
 def compile_torch_model_via_onnx(model, x_cal, n_bits: int = 8, seed: int = 0,
