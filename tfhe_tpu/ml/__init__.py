@@ -38,6 +38,21 @@ from tfhe_tpu.ml.zoo import (
     SGDClassifier,
     TweedieRegressor,
 )
+from tfhe_tpu.ml.quantization import get_n_bits_dict
+from tfhe_tpu.ml.hybrid import (
+    HybridFHEModel,
+    RemoteHybridModel,
+    serve_hybrid_model,
+)
+from tfhe_tpu.ml.hybrid_server import (
+    HTTPTransport,
+    HybridFHEModelServer,
+    HybridHTTPServer,
+)
+from tfhe_tpu.ml.torch_export import (
+    compile_torch_model_via_onnx,
+    export_onnx_bytes,
+)
 
 
 # -- model registry (reference sklearn/__init__.py get_sklearn_models etc.) ----
