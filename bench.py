@@ -51,13 +51,29 @@ def _probe_backend(timeout_s: int = 600) -> str | None:
 def main():
     backend = _probe_backend()
     if backend is None:
+        import os
+
+        last = None
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_MULTIBIT.json")
+        try:
+            with open(art) as f:
+                rec = json.load(f)
+            last = {"value": rec.get("value"),
+                    "unit": rec.get("unit"),
+                    "artifact": "BENCH_MULTIBIT.json",
+                    "note": "last committed on-chip measurement"}
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "pbs_per_sec_per_chip",
             "value": 0.0,
             "unit": "PBS/s",
             "vs_baseline": 0.0,
             "detail": {"error": "backend init failed or timed out "
-                                "(TPU tunnel unreachable)"},
+                                "(TPU tunnel unreachable); no fresh "
+                                "measurement possible this run",
+                       "last_measured": last},
         }))
         sys.exit(1)
 
