@@ -13,6 +13,10 @@ batch as ONE device program; every vector element is a distinct
 assertion (>= 600 in the default tier).
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -145,12 +149,39 @@ def test_scalar_variants(keys, op, variant):
     _run_binary(*keys, op, 8, variant)
 
 
+# The 32/64-bit sweep runs in an ISOLATION SUBPROCESS inside the default
+# gate (VERDICT item 6 wants these widths always on): compiling the
+# 64-bit mul program after hundreds of other programs have accumulated
+# in-process reproducibly SEGFAULTS XLA:CPU (jax compiler.py
+# backend_compile_and_load; seen twice at suite position ~48%), while
+# the identical sweep in a fresh interpreter passes. CORPUS_WIDE_INNER=1
+# marks the inner process.
+_WIDE_INNER = os.environ.get("CORPUS_WIDE_INNER") == "1"
+
+
+@pytest.mark.skipif(
+    not _WIDE_INNER, reason="runs inside the wide-sweep isolation subprocess"
+)
 @pytest.mark.parametrize("bits", [32, 64])
 @pytest.mark.parametrize("op", ALL_OPS)
 def test_enc_enc_wide(keys, op, bits):
     # default-tier since round 3 (VERDICT item 6): production traffic is
     # 32/64-bit; the default gate must execute these widths
     _run_binary(*keys, op, bits, "encenc")
+
+
+@pytest.mark.skipif(_WIDE_INNER, reason="outer wrapper")
+def test_enc_enc_wide_isolated():
+    env = dict(os.environ, CORPUS_WIDE_INNER="1", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # dead-tunnel hang guard
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", __file__, "-q",
+         "-k", "test_enc_enc_wide"],
+        env=env, capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1000:])
+    assert "passed" in r.stdout
 
 
 @pytest.mark.slow
