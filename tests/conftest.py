@@ -32,25 +32,13 @@ try:
 except Exception:  # private API: a jax upgrade must not kill collection
     pass
 
-# Persistent compilation cache: PBS programs recompile identically across
-# test runs; caching them cuts suite time substantially. The dir is keyed
-# by the host CPU flags: XLA:CPU AOT results baked on one machine fail to
-# load (or worse, SIGILL) on a host with different vector extensions, and
-# the runner migrates across machines between rounds.
-def _host_cache_dir() -> str:
-    import hashlib
-    import platform
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            sig = next(l for l in f if l.startswith("flags"))
-    except (OSError, StopIteration):
-        sig = platform.machine()
-    return "/tmp/tfhe_tpu_jax_cache_" + hashlib.sha1(sig.encode()).hexdigest()[:10]
-
-
-jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the suite: XLA:CPU executable
+# (de)serialization segfaulted the run three times in round 3 -- once
+# loading an entry (get_executable_and_time), twice around writing the
+# largest programs (put_executable_and_time / backend_compile_and_load
+# under _compile_and_write_cache). Recompiling per run is slower but
+# deterministic; the TPU bench keeps its own cache (different backend,
+# remote compile path).
 
 import numpy as np
 import pytest
