@@ -4,13 +4,15 @@ manual.ts) re-expressed as batched sweeps.
 
 Coverage: all binary/compare ops x widths 8/16/32/64 in the DEFAULT
 gate (sampled 128/256 in the slow tier) x {enc-enc, scalar-left,
-scalar-right}, shift/rotate
-edge amounts (0, bits-1, >= bits wrap), div/rem incl. the tfhe-rs
-division-by-zero semantics, overflow edges (0, max, max-1), the full
-ebool truth tables incl. scalar variants, casts across widths, and
-select for euint/ebool. Each (op, width, variant) runs its whole vector
-batch as ONE device program; every vector element is a distinct
-assertion (>= 600 in the default tier).
+scalar-right} at EVERY width (the reference's euintX_uintX overload
+matrix), shift/rotate edge amounts (0, bits-1, >= bits wrap) at 8 and
+16 bits, div/rem incl. the tfhe-rs division-by-zero semantics at 8/16,
+overflow edges (0, max, max-1), the full ebool truth tables incl.
+scalar variants, the 8/16/32/64 cast matrix both directions, and
+select for euint/ebool. Each (op, width, variant) runs its whole
+vector batch as ONE device program; every vector element is a distinct
+assertion: ~2,430 element assertions in this file's default tier alone
+(the reference's fhevmOperations1-13.ts corpus is 2,394 cases).
 """
 
 import os
@@ -33,7 +35,7 @@ from tfhe_tpu.rng import FheRng
 # rounding drift sits within one LUT box of the boundary on long chains
 # (div), making results mask-seed flaky; N=256 doubles that margin.
 P = tp.TOY_SHORTINT_CORPUS
-NVEC = 8
+NVEC = 10
 U64 = jnp.uint64
 
 
@@ -143,10 +145,11 @@ def test_enc_enc(keys, op, bits):
     _run_binary(*keys, op, bits, "encenc")
 
 
+@pytest.mark.parametrize("bits", [8, 16])
 @pytest.mark.parametrize("variant", ["scalarL", "scalarR"])
 @pytest.mark.parametrize("op", ALL_OPS)
-def test_scalar_variants(keys, op, variant):
-    _run_binary(*keys, op, 8, variant)
+def test_scalar_variants(keys, op, variant, bits):
+    _run_binary(*keys, op, bits, variant)
 
 
 # The 32/64-bit sweep runs in an ISOLATION SUBPROCESS inside the default
@@ -170,13 +173,43 @@ def test_enc_enc_wide(keys, op, bits):
     _run_binary(*keys, op, bits, "encenc")
 
 
+@pytest.mark.skipif(
+    not _WIDE_INNER, reason="runs inside the wide-sweep isolation subprocess"
+)
+@pytest.mark.parametrize("bits", [32, 64])
+@pytest.mark.parametrize("variant", ["scalarL", "scalarR"])
+@pytest.mark.parametrize("op", ALL_OPS)
+def test_scalar_wide(keys, op, variant, bits):
+    # the reference's generated matrix includes the euintX_uintX /
+    # uintX_euintX overloads at every width (fhevmOperations4-13.ts)
+    _run_binary(*keys, op, bits, variant)
+
+
+@pytest.mark.skipif(
+    not _WIDE_INNER, reason="runs inside the wide-sweep isolation subprocess"
+)
+@pytest.mark.parametrize("bits", [32, 64])
+def test_not_neg_wide(keys, bits):
+    ck, sk = keys
+    a = _vals(bits, 1000 + bits)
+    ea = _enc(ck, a, bits)
+    mod = 1 << bits
+    obj = a.astype(object)
+    np.testing.assert_array_equal(
+        _dec(ck, ri.bitnot(sk, ea)),
+        np.asarray((~obj) % mod, dtype=np.uint64))
+    np.testing.assert_array_equal(
+        _dec(ck, ri.neg(sk, ea)),
+        np.asarray((-obj) % mod, dtype=np.uint64))
+
+
 @pytest.mark.skipif(_WIDE_INNER, reason="outer wrapper")
 def test_enc_enc_wide_isolated():
     env = dict(os.environ, CORPUS_WIDE_INNER="1", JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)  # dead-tunnel hang guard
     r = subprocess.run(
         [sys.executable, "-m", "pytest", __file__, "-q",
-         "-k", "test_enc_enc_wide"],
+         "-k", "wide"],
         env=env, capture_output=True, text=True, timeout=3000,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -236,6 +269,27 @@ def test_shift_rotate_amounts(keys, op, amount):
                                   err_msg=f"{op}/{amount}")
 
 
+@pytest.mark.parametrize("amount", [0, 5, 15, 16])
+@pytest.mark.parametrize("op", ["shl", "shr", "rotl", "rotr"])
+def test_shift_rotate_amounts_16(keys, op, amount):
+    ck, sk = keys
+    bits = 16
+    a = _vals(bits, 211 + amount)
+    ea = _enc(ck, a, bits)
+    r = amount % bits
+    got = _dec(ck, getattr(ri, op)(sk, ea, amount))
+    if op == "shl":
+        want = (a << r) % 2**bits
+    elif op == "shr":
+        want = a >> r
+    elif op == "rotl":
+        want = ((a << r) | (a >> (bits - r))) % 2**bits if r else a
+    else:
+        want = ((a >> r) | (a << (bits - r))) % 2**bits if r else a
+    np.testing.assert_array_equal(got, want.astype(np.uint64),
+                                  err_msg=f"{op}/16/{amount}")
+
+
 @pytest.mark.parametrize("op", ["shl", "shr", "rotl", "rotr"])
 def test_shift_encrypted_amount(keys, op):
     ck, sk = keys
@@ -265,9 +319,9 @@ def test_shift_encrypted_amount(keys, op):
 # -- div / rem incl. division by zero ---------------------------------------
 
 
-def test_div_rem_enc(keys):
+@pytest.mark.parametrize("bits", [8, 16])
+def test_div_rem_enc(keys, bits):
     ck, sk = keys
-    bits = 8
     a = _vals(bits, 55)
     b = _vals(bits, 56, edges=False)
     b[0] = 0  # division by zero case
@@ -308,13 +362,18 @@ def test_scalar_div_rem_wide_sweep(keys):
         np.testing.assert_array_equal(_dec(ck, ri.scalar_rem(sk, ea, s)), a % s)
 
 
-@pytest.mark.parametrize("src,dst", [(8, 16), (16, 8), (8, 32), (32, 8), (16, 32)])
+@pytest.mark.parametrize("src,dst", [
+    (8, 16), (16, 8), (8, 32), (32, 8), (16, 32), (32, 16),
+    (8, 64), (64, 8), (16, 64), (64, 16), (32, 64), (64, 32),
+])
 def test_casts(keys, src, dst):
     ck, sk = keys
     a = _vals(src, 900 + src * dst)
     ea = _enc(ck, a, src)
     got = _dec(ck, ri.cast(sk, ea, dst))
-    np.testing.assert_array_equal(got, a % (2**dst), err_msg=f"{src}->{dst}")
+    # object math: 2**64 overflows the uint64 modulo path
+    want = np.asarray(a.astype(object) % (2**dst), dtype=np.uint64)
+    np.testing.assert_array_equal(got, want, err_msg=f"{src}->{dst}")
 
 
 # -- select ------------------------------------------------------------------
