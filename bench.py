@@ -80,9 +80,11 @@ def main():
     import jax
 
     # persistent compile cache: keygen/PBS programs are identical across
-    # runs; caching cuts the multi-minute remote-tunnel compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # runs; caching cuts the multi-minute remote-tunnel compiles. The
+    # cache is repo-local (.cache/xla) so it survives /tmp cleanup.
+    from tfhe_tpu.utils.xlacache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -20,8 +20,8 @@ WASM_REFERENCE_PBS_PER_S = 30.0
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tfhe_tpu.utils.xlacache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

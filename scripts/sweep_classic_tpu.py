@@ -19,13 +19,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_one(tm: int, steps: int, batch: int, iters: int) -> dict:
     code = f"""
 import json, time
-import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/tfhe_tpu_jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-import jax.numpy as jnp
-import numpy as np
 import sys
 sys.path.insert(0, {REPO!r})
+import jax
+from tfhe_tpu.utils.xlacache import enable_persistent_cache
+enable_persistent_cache()
+import jax.numpy as jnp
+import numpy as np
 from tfhe_tpu import params as tp
 from tfhe_tpu.core.bootstrap import programmable_bootstrap
 from tfhe_tpu.core.lwe import keyswitch

@@ -13,6 +13,12 @@ deserialize + host->device transfer.
 The cache trusts its directory (keys include the SECRET key client
 half); it is a single-host warm-start, not a distribution channel —
 the serving layer's /keyurl path stays the way EVALUATION keys travel.
+
+Backend policy: the disk path is only a win where host->device
+bandwidth is cheap (CPU). On the tunneled TPU, seeded on-device
+regeneration under the persistent XLA compile cache is faster than
+shipping gigabytes through the tunnel, so load_or_keygen skips disk
+there (measured round 4: 202 s load vs 67.6 s regen for classic keys).
 """
 
 from __future__ import annotations
@@ -26,7 +32,21 @@ from typing import Any
 # payloads (utils/serialization.py), not for this trusted local cache.
 KEY_CACHE_MAX = 8 * 1024 * 1024 * 1024
 
-DEFAULT_DIR = os.environ.get("TFHE_TPU_KEY_CACHE_DIR", "/tmp/tfhe_tpu_keys")
+def _default_dir() -> str:
+    """Repo-local `.cache/keys` when the package runs from a writable
+    source checkout (so warm starts survive /tmp cleanup and machine
+    moves), else /tmp. TFHE_TPU_KEY_CACHE_DIR overrides both."""
+    env = os.environ.get("TFHE_TPU_KEY_CACHE_DIR")
+    if env:
+        return env
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.isdir(os.path.join(root, ".git")) and os.access(root, os.W_OK):
+        return os.path.join(root, ".cache", "keys")
+    return "/tmp/tfhe_tpu_keys"
+
+
+DEFAULT_DIR = _default_dir()
 
 
 def _effective_group(params, multibit_group: int | None) -> int:
@@ -72,17 +92,40 @@ def load_keys(path: str):
         return deserialize(f.read(), max_size=KEY_CACHE_MAX)
 
 
+def _disk_cache_pays_off() -> bool:
+    """On the tunneled TPU backend the disk cache LOSES: deserializing a
+    key blob costs a host->device transfer at tunnel bandwidth (~3-7
+    MB/s measured -- 202 s to load the 591 MB classic keys vs 67.6 s to
+    regenerate them on-device from the seed, round 4). Keygen ships only
+    the seed across the wire and runs at HBM speed, and the persistent
+    XLA cache (utils/xlacache.py) already amortizes its compile. On CPU
+    (serving hosts, tests) loading wins by minutes. TFHE_TPU_KEY_CACHE
+    overrides: 0 = never touch disk, force = always use disk."""
+    mode = os.environ.get("TFHE_TPU_KEY_CACHE", "1")
+    if mode == "force":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() not in ("tpu",)
+    except Exception:
+        return True
+
+
 def load_or_keygen(params, seed: int = 0, multibit_group: int | None = None,
                    cache_dir: str | None = None) -> tuple[Any, Any, dict]:
     """(ck, sk, info): cached keys when present, else keygen + store.
 
     info = {"hit": bool, "seconds": wall time of whichever path ran}.
     Disable with TFHE_TPU_KEY_CACHE=0 (info then reports hit=False and
-    nothing is written).
+    nothing is written). On TPU backends the disk path is skipped
+    entirely (see _disk_cache_pays_off): seeded on-device keygen under
+    the persistent XLA compile cache is the faster warm start there.
     """
     from tfhe_tpu.models import shortint as si
 
-    enabled = os.environ.get("TFHE_TPU_KEY_CACHE", "1") != "0"
+    enabled = (os.environ.get("TFHE_TPU_KEY_CACHE", "1") != "0"
+               and _disk_cache_pays_off())
     path = cache_path(params, seed, multibit_group, cache_dir)
     if enabled and os.path.exists(path):
         t0 = time.time()
