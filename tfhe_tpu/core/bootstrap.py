@@ -257,3 +257,22 @@ def programmable_bootstrap(
     """
     acc = blind_rotate(lut, lwe_ct, bsk, engine)
     return sample_extract(acc, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("engine",))
+def keyswitch_pbs(
+    big_lwe_ct: jax.Array,
+    lut: jax.Array,
+    bsk: BootstrapKey,
+    ksk,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """Keyswitch-down + PBS as ONE device program.
+
+    Eager callers (apply_lut per radix block, the bench loop) otherwise
+    pay two ~37 ms dispatch floors per batch on the tunneled backend
+    (PERF_NOTES.md); fusing the pair removes one and lets XLA overlap
+    the keyswitch matmuls with the first rotation step's prologue."""
+    from tfhe_tpu.core.lwe import keyswitch
+
+    return programmable_bootstrap(keyswitch(big_lwe_ct, ksk), lut, bsk, engine)

@@ -244,6 +244,31 @@ def _mb_pbs_jit(lwe_ct, lut, bsk, table, engine):
     return sample_extract(acc, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("engine",))
+def _mb_ks_pbs_jit(big_lwe_ct, lut, bsk, ksk, table, engine):
+    from tfhe_tpu.core.lwe import keyswitch
+
+    small = keyswitch(big_lwe_ct, ksk)
+    acc = multibit_blind_rotate(lut, small, bsk, engine, table=table)
+    return sample_extract(acc, 0)
+
+
+def multibit_keyswitch_pbs(
+    big_lwe_ct: jax.Array,
+    lut: jax.Array,
+    bsk: MultiBitBootstrapKey,
+    ksk,
+    engine: NegacyclicEngine,
+) -> jax.Array:
+    """Keyswitch-down + multi-bit PBS as ONE device program: eager
+    callers otherwise pay two dispatch floors per batch (the keyswitch
+    jit and the PBS jit) -- ~37 ms each on the tunneled backend."""
+    table = (
+        bsk.rot_table if bsk.rot_table is not None else monomial_x_table(engine)
+    )
+    return _mb_ks_pbs_jit(big_lwe_ct, lut, bsk, ksk, table, engine)
+
+
 def multibit_programmable_bootstrap(
     lwe_ct: jax.Array,
     lut: jax.Array,

@@ -223,16 +223,18 @@ def apply_lut(sk: ServerKey, c: Ciphertext, lut: jax.Array, out_degree: int) -> 
     run the n/g-step aggregated rotation."""
     p = sk.params
     engine = engine_for(p)
-    small = keyswitch(c.ct, sk.ksk)
+    from tfhe_tpu.core.bootstrap import keyswitch_pbs
     from tfhe_tpu.core.multibit import (
         MultiBitBootstrapKey,
-        multibit_programmable_bootstrap,
+        multibit_keyswitch_pbs,
     )
 
+    # fused keyswitch+PBS: one device program per atom instead of two
+    # (each eager dispatch costs ~37 ms on the tunneled backend)
     if isinstance(sk.bsk, MultiBitBootstrapKey):
-        out = multibit_programmable_bootstrap(small, lut, sk.bsk, engine)
+        out = multibit_keyswitch_pbs(c.ct, lut, sk.bsk, sk.ksk, engine)
     else:
-        out = programmable_bootstrap(small, lut, sk.bsk, engine)
+        out = keyswitch_pbs(c.ct, lut, sk.bsk, sk.ksk, engine)
     return Ciphertext(ct=out, params=p, degree=out_degree, noise_level=1)
 
 
