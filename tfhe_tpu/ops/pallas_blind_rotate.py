@@ -42,8 +42,12 @@ from tfhe_tpu.ops.pallas_ntt import (
     _Z,
     _limb_dtype,
     fwd_prime,
+    fwd_prime_packed,
     inv_prime,
+    inv_prime_packed,
     make_fwd_rhs,
+    make_fwd_rhs_packed,
+    packed_kernels_enabled,
 )
 
 U32 = jnp.uint32
@@ -103,6 +107,7 @@ def make_pallas_blind_rotate(
     ctxs = [ntt.ctx for ntt in engine.ntts]
     big_c, big_r = cd > 64, rd > 64
     ld = _limb_dtype()
+    packed = packed_kernels_enabled()
     assert 1 <= base_log <= 31
     # decomposition constants (level 1): state = (x + 2^(63-B)) >> (64-B);
     # the rounding half has zero low bits so only the hi plane moves
@@ -129,12 +134,18 @@ def make_pallas_blind_rotate(
         state = (dh2 >> st_shift).astype(I32)
         d = state - jnp.where(state >= b_half, b_full, np.int32(0))
         # forward NTT of digits (rows = (ct, d)), 3 planes
-        rhs1 = make_fwd_rhs(d, cd, rd, tm * 2, 3, ld)
+        mk_rhs = make_fwd_rhs_packed if packed else make_fwd_rhs
+        rhs1 = mk_rhs(d, cd, rd, tm * 2, 3, ld)
         res = []
         for i in range(3):
             ctx = ctxs[i]
             if "fwd" in _skip:
                 fd = d.astype(U32)
+            elif packed:
+                fd = fwd_prime_packed(
+                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
+                    cd, rd, tm * 2, tables.vp3_nk, tables.wrp_nk, n,
+                )
             else:
                 fd = fwd_prime(
                     rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
@@ -159,12 +170,21 @@ def make_pallas_blind_rotate(
             if "inv" in _skip:
                 res.append(prodm)
                 continue
-            res.append(
-                inv_prime(
-                    prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
-                    i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+            if packed:
+                res.append(
+                    inv_prime_packed(
+                        prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                        i_tabs[3], ctx, cd, rd, tm * 2, tables.wip_nk,
+                        tables.vip_nk, n, ld,
+                    )
                 )
-            )
+            else:
+                res.append(
+                    inv_prime(
+                        prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                        i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+                    )
+                )
         # Garner: residues -> u64 pair, centered, << shift
         r1, r2, r3 = res
         if "garner" in _skip:
@@ -214,6 +234,12 @@ def make_pallas_blind_rotate(
         ohi_ref[:] = hi
 
     t = tables
+    # table selection: packed kernels swap the four stage matrices for
+    # their block-Toeplitz forms (same arg positions, larger shapes)
+    if packed:
+        fv, fw, iw, iv = t.vp, t.wrp, t.wip, t.vip
+    else:
+        fv, fw, iw, iv = t.v, t.wr, t.wi, t.vi
 
     @jax.jit
     def step(acc_lo, acc_hi, rotv, rots, bskv, bsks):
@@ -230,8 +256,8 @@ def make_pallas_blind_rotate(
                 pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
-                full(t.v), full(t.wr), full(t.g), full(t.gs),
-                full(t.wi), full(t.vi), full(t.gi), full(t.gis),
+                full(fv), full(fw), full(t.g), full(t.gs),
+                full(iw), full(iv), full(t.gi), full(t.gis),
             ],
             out_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
@@ -252,7 +278,7 @@ def make_pallas_blind_rotate(
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, rotv, rots, bskv, bsks,
-            t.v, t.wr, t.g, t.gs, t.wi, t.vi, t.gi, t.gis,
+            fv, fw, t.g, t.gs, iw, iv, t.gi, t.gis,
         )
 
     return step

@@ -47,8 +47,12 @@ from tfhe_tpu.ops.pallas_ntt import (
     _Z,
     _limb_dtype,
     fwd_prime,
+    fwd_prime_packed,
     inv_prime,
+    inv_prime_packed,
     make_fwd_rhs,
+    make_fwd_rhs_packed,
+    packed_kernels_enabled,
 )
 
 U32 = jnp.uint32
@@ -74,6 +78,7 @@ def make_pallas_multibit_step(
     ctxs = [ntt.ctx for ntt in engine.ntts]
     big_c, big_r = cd > 64, rd > 64
     ld = _limb_dtype()
+    packed = packed_kernels_enabled()
     assert 1 <= base_log <= 31
     half_hi = np.uint32(1 << (64 - base_log - 1 - 32))
     st_shift = np.uint32(64 - base_log - 32)
@@ -111,14 +116,21 @@ def make_pallas_multibit_step(
         dh2 = hi + half_hi
         state = (dh2 >> st_shift).astype(I32)
         d = state - jnp.where(state >= b_half, b_full, np.int32(0))
-        rhs1 = make_fwd_rhs(d, cd, rd, tm * 2, 3, ld)
+        mk_rhs = make_fwd_rhs_packed if packed else make_fwd_rhs
+        rhs1 = mk_rhs(d, cd, rd, tm * 2, 3, ld)
         res = []
         for i in range(3):
             ctx = ctxs[i]
-            fd = fwd_prime(
-                rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
-                cd, rd, tm * 2, 3, big_c, big_r, n,
-            )  # (tm*2, N) u32 in [0, 2p)
+            if packed:
+                fd = fwd_prime_packed(
+                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
+                    cd, rd, tm * 2, tables.vp3_nk, tables.wrp_nk, n,
+                )
+            else:
+                fd = fwd_prime(
+                    rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
+                    cd, rd, tm * 2, 3, big_c, big_r, n,
+                )  # (tm*2, N) u32 in [0, 2p)
             fdm = fd.reshape(tm, 2, n)
             mv = [mv_all[b][:, i, :] for b in range(g)]  # (tm, N) each
             ms = [ms_all[b][:, i, :] for b in range(g)]
@@ -138,12 +150,21 @@ def make_pallas_multibit_step(
                 s = _horner(inners, mv, ms, ctx, tuple(range(g)))
                 outs.append(_condsub(_condsub(s, ctx.two_p), ctx.pu))
             prodm = jnp.stack(outs, axis=1).reshape(tm * 2, n)
-            res.append(
-                inv_prime(
-                    prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
-                    i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+            if packed:
+                res.append(
+                    inv_prime_packed(
+                        prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                        i_tabs[3], ctx, cd, rd, tm * 2, tables.wip_nk,
+                        tables.vip_nk, n, ld,
+                    )
                 )
-            )
+            else:
+                res.append(
+                    inv_prime(
+                        prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                        i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+                    )
+                )
         # Garner -> u64 planes; REPLACES the accumulator
         r1, r2, r3 = res
         c2, c3 = ctxs[1], ctxs[2]
@@ -188,6 +209,10 @@ def make_pallas_multibit_step(
         ohi_ref[:] = hi
 
     t = tables
+    if packed:
+        fv, fw, iw, iv = t.vp, t.wrp, t.wip, t.vip
+    else:
+        fv, fw, iw, iv = t.v, t.wr, t.wi, t.vi
 
     @jax.jit
     def step(acc_lo, acc_hi, monov, monos, bskv, bsks):
@@ -204,8 +229,8 @@ def make_pallas_multibit_step(
                 pl.BlockSpec((g, 3 * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
-                full(t.v), full(t.wr), full(t.g), full(t.gs),
-                full(t.wi), full(t.vi), full(t.gi), full(t.gis),
+                full(fv), full(fw), full(t.g), full(t.gs),
+                full(iw), full(iv), full(t.gi), full(t.gis),
             ],
             out_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
@@ -223,7 +248,7 @@ def make_pallas_multibit_step(
             interpret=jax.default_backend() != "tpu",
         )(
             acc_lo, acc_hi, monov, monos, bskv, bsks,
-            t.v, t.wr, t.g, t.gs, t.wi, t.vi, t.gi, t.gis,
+            fv, fw, t.g, t.gs, iw, iv, t.gi, t.gis,
         )
 
     return step

@@ -60,11 +60,57 @@ I32 = jnp.int32
 _Z = np.int32(0)
 
 
+def packed_kernels_enabled() -> bool:
+    """Block-Toeplitz packed stage matmuls (TFHE_TPU_PACKED, default on):
+    the digit cross-plane sums run inside the MXU contraction instead of
+    as VPU adds. Read at kernel-build time; A/B in separate processes
+    (the step builders are lru-cached per process)."""
+    import os
+
+    return os.environ.get("TFHE_TPU_PACKED", "1") == "1"
+
+
 def _stack_digits(m: np.ndarray, p: int) -> np.ndarray:
     """(D1, D2) matrix mod p -> (4*D1, D2) stacked balanced digit planes
     (row a*D1 + i is digit a of row i)."""
     d = _balanced_digits_host(m, p)  # (D1, D2, 4)
     return np.concatenate([d[..., a] for a in range(4)], axis=0)
+
+
+def _stack_digits_packed(m: np.ndarray, p: int, nb_rhs: int,
+                         split3: bool) -> tuple[np.ndarray, int]:
+    """(D1, D2) table mod p -> block-Toeplitz packed lhs
+    (nk*D1, nb_rhs*D2), plus nk.
+
+    Row-block k / col-block b holds table digit plane a = k - b (zero
+    outside 0..3), so ONE matmul with the rhs digit planes stacked along
+    the contraction axis computes every cross-plane sum
+    s_k = sum_{a+b=k} T_a . x_b directly in the MXU: the contraction
+    depth grows from D2 to nb_rhs*D2 (the systolic array is 128 deep --
+    D2 = 32/64 leaves it 2-4x idle) and the VPU block adds disappear.
+    MAC count grows ~1.75x but runs at ~4x better MXU occupancy, and
+    every s_k lands as one contiguous row-block for the recombiner.
+
+    With split3 (contraction dims > 64), row-block k=3 is emitted twice
+    (a in {0,1}, then {2,3}) so the recombination's s<<8 stays inside
+    i32 -- same overflow guard as _recombine's big-K path."""
+    d = _balanced_digits_host(m, p)  # (D1, D2, 4)
+    d1, d2 = m.shape
+    nk = 4 + nb_rhs - 1
+    keys: list[tuple[int, tuple | None]] = []
+    for k in range(nk):
+        if split3 and k == 3:
+            keys.append((3, (0, 1)))
+            keys.append((3, (2, 3)))
+        else:
+            keys.append((k, None))
+    out = np.zeros((len(keys) * d1, nb_rhs * d2), dtype=np.float32)
+    for ki, (k, asub) in enumerate(keys):
+        for b in range(nb_rhs):
+            a = k - b
+            if 0 <= a <= 3 and (asub is None or a in asub):
+                out[ki * d1:(ki + 1) * d1, b * d2:(b + 1) * d2] = d[..., a]
+    return out, len(keys)
 
 
 class PallasNttTables:
@@ -78,6 +124,7 @@ class PallasNttTables:
         self.n, self.r_dim, self.c_dim = n, r_dim, c_dim
         vs, wrs, gs, gss = [], [], [], []
         wis, vis, gis, giss = [], [], [], []
+        vps, wrps, wips, vips = [], [], [], []
         for ntt in engine.ntts:
             p = ntt.p
             g = _primitive_root(p)
@@ -121,6 +168,14 @@ class PallasNttTables:
             wrs.append(_stack_digits(wr, p))
             wis.append(_stack_digits(wi, p))
             vis.append(_stack_digits(vi, p))
+            vp, self.vp3_nk = _stack_digits_packed(v, p, 3, c_dim > 64)
+            wp, self.wrp_nk = _stack_digits_packed(wr, p, 4, r_dim > 64)
+            wip_, self.wip_nk = _stack_digits_packed(wi, p, 4, r_dim > 64)
+            vip_, self.vip_nk = _stack_digits_packed(vi, p, 4, c_dim > 64)
+            vps.append(vp)
+            wrps.append(wp)
+            wips.append(wip_)
+            vips.append(vip_)
             sh = lambda x: ((x.astype(object) << 32) // p).astype(np.uint32)
             gs.append(gm.astype(np.uint32))
             gss.append(sh(gm))
@@ -137,6 +192,11 @@ class PallasNttTables:
         self.wr = np.stack(wrs).astype(ld)  # (3, 4R, R)
         self.wi = np.stack(wis).astype(ld)  # (3, 4R, R)
         self.vi = np.stack(vis).astype(ld)  # (3, 4C, C)
+        # block-Toeplitz packed variants (TFHE_TPU_PACKED kernels)
+        self.vp = np.stack(vps).astype(ld)  # (3, vp3_nk*C, 3C)
+        self.wrp = np.stack(wrps).astype(ld)  # (3, wrp_nk*R, 4R)
+        self.wip = np.stack(wips).astype(ld)  # (3, wip_nk*R, 4R)
+        self.vip = np.stack(vips).astype(ld)  # (3, vip_nk*C, 4C)
         self.g = np.stack(gs)  # (3, C, R) u32
         self.gs = np.stack(gss)
         self.gi = np.stack(gis)
@@ -193,6 +253,36 @@ def _recombine(blk, ctx, big, nb=4):
     return out
 
 
+def _recombine_packed(out, ctx, d, nk):
+    """Packed-matmul recombination: `out` is (nk*d, X) i32 whose
+    row-blocks are the cross-plane sums s_k already accumulated by the
+    block-Toeplitz matmul. Returns (d, X) u32 in [0, 2p).
+
+    nk = 6 (nb=3), 7 (nb=4) or 8 (nb=4 with k=3 split in two blocks:
+    rows 3 and 4 hold the a-{0,1} and a-{2,3} halves)."""
+    blk = lambda j: out[j * d:(j + 1) * d, :]
+    if nk == 8:
+        s = [blk(0), blk(1), blk(2), blk(3), blk(5), blk(6), blk(7)]
+        s3b = blk(4)
+    else:
+        s = [blk(j) for j in range(nk)]
+        s3b = None
+    e8 = np.int32(8)
+    consts = (ctx.one, ctx.c16, ctx.c32, ctx.c48)
+    acc = None
+    for j in range(4):
+        lo = s[2 * j] if 2 * j < len(s) else None
+        hi = s[2 * j + 1] if 2 * j + 1 < len(s) else None
+        if lo is None and hi is None:
+            continue
+        t = lo if hi is None else ((hi << e8) if lo is None else lo + (hi << e8))
+        r = ctx.reduce_signed(t, consts[j])
+        acc = r if acc is None else _condsub(acc + r, ctx.two_p)
+    if s3b is not None:
+        acc = _condsub(acc + ctx.reduce_signed(s3b << e8, ctx.c16), ctx.two_p)
+    return acc
+
+
 def _acc_dtype(lhs):
     # int8 digit planes accumulate exactly in i32 on the MXU (products
     # <= 2^14, K <= 128 -> sums <= 2^21); bf16/f32 planes use f32
@@ -243,6 +333,58 @@ def make_fwd_rhs(x_i32, cd, rd, tm, nb, ld):
     ds = _split_list(xm, nb)
     rhs1 = jnp.stack(ds, axis=0)  # (nb, TM, C, R)
     return jnp.transpose(rhs1, (2, 0, 1, 3)).reshape(cd, nb * tm * rd).astype(ld)
+
+
+def make_fwd_rhs_packed(x_i32, cd, rd, tm, nb, ld):
+    """(TM, N) i32 -> packed stage-1 rhs (nb*C, TM*R): digit planes
+    stacked along the CONTRACTION axis, row-block order (b, c) matching
+    _stack_digits_packed's column blocks."""
+    xm = x_i32.reshape(tm, cd, rd)
+    ds = _split_list(xm, nb)
+    rhs1 = jnp.stack(ds, axis=0)  # (nb, TM, C, R)
+    return jnp.transpose(rhs1, (0, 2, 1, 3)).reshape(nb * cd, tm * rd).astype(ld)
+
+
+def fwd_prime_packed(x_rhs_p, i, vp_tab, wrp_tab, g_tab, gs_tab, ctx,
+                     cd, rd, tm, nk1, nk2, n):
+    """Block-Toeplitz forward transform for one prime.
+
+    x_rhs_p: (3C, TM*R) packed stage-1 rhs (shared across primes).
+    Returns (TM, N) u32 in [0, 2p), layout h = t*R + s. Same math as
+    fwd_prime with the cross-plane sums fused into the matmuls."""
+    out1 = _dot(vp_tab[i], x_rhs_p)  # (nk1*C, TM*R)
+    y = _recombine_packed(out1.astype(I32), ctx, cd, nk1)  # (C, TM*R)
+    ym = y.reshape(cd, tm, rd)
+    yt = shoup_mulmod(ym, g_tab[i][:, None, :], gs_tab[i][:, None, :], ctx.pu)
+    ds2 = _split_list(yt.astype(I32))  # 4 x (C, TM, R)
+    rhs2 = jnp.stack(ds2, axis=-2).reshape(cd * tm, 4 * rd)
+    rhs2 = rhs2.astype(wrp_tab.dtype)
+    out2 = _dot_nt(wrp_tab[i], rhs2)  # (nk2*R, C*TM)
+    z = _recombine_packed(out2.astype(I32), ctx, rd, nk2)  # (R, C*TM)
+    zt = z.T.reshape(cd, tm, rd)
+    return jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
+
+
+def inv_prime_packed(f_i32, i, wip_tab, vip_tab, gi_tab, gis_tab, ctx,
+                     cd, rd, tm, nk1, nk2, n, ld):
+    """Block-Toeplitz inverse for one prime: (TM, N) i32 (layout
+    h = t*R + s) -> (TM, N) u32 canonical residues, natural order."""
+    fm = f_i32.reshape(tm, cd, rd)
+    ds = _split_list(fm)  # 4 x (TM, C, R)
+    rhs1 = jnp.stack(ds, axis=-2).reshape(tm * cd, 4 * rd).astype(ld)
+    out1 = _dot_nt(wip_tab[i], rhs1)  # (nk1*R, TM*C)
+    u = _recombine_packed(out1.astype(I32), ctx, rd, nk1)  # (R, TM*C)
+    um = u.T.reshape(tm, cd, rd)
+    ut = shoup_mulmod(um, gi_tab[i][None, :, :], gis_tab[i][None, :, :], ctx.pu)
+    ds2 = _split_list(ut.astype(I32))  # 4 x (TM, C, R)
+    rhs2 = jnp.stack(ds2, axis=0)  # (4, TM, C, R)
+    rhs2 = jnp.transpose(rhs2, (0, 2, 1, 3)).reshape(4 * cd, tm * rd)
+    rhs2 = rhs2.astype(vip_tab.dtype)
+    out2 = _dot(vip_tab[i], rhs2)  # (nk2*C, TM*R)
+    a_res = _recombine_packed(out2.astype(I32), ctx, cd, nk2)
+    a_res = _condsub(a_res, ctx.pu)
+    am = a_res.reshape(cd, tm, rd)
+    return jnp.transpose(am, (1, 0, 2)).reshape(tm, n)
 
 
 def inv_prime(f_i32, i, wi_tab, vi_tab, gi_tab, gis_tab, ctx,
