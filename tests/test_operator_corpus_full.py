@@ -44,6 +44,18 @@ def keys():
     return si.keygen(P, seed=13)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _free_compiled_programs():
+    """XLA:CPU segfaults after hundreds of in-process compiles (see
+    test_enc_enc_wide_isolated); this module compiles the most programs
+    in the suite, so release its executables when it finishes to keep
+    the rest of the run inside the budget."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 _ENC_SEED = [0]
 
 
@@ -145,11 +157,10 @@ def test_enc_enc(keys, op, bits):
     _run_binary(*keys, op, bits, "encenc")
 
 
-@pytest.mark.parametrize("bits", [8, 16])
 @pytest.mark.parametrize("variant", ["scalarL", "scalarR"])
 @pytest.mark.parametrize("op", ALL_OPS)
-def test_scalar_variants(keys, op, variant, bits):
-    _run_binary(*keys, op, bits, variant)
+def test_scalar_variants(keys, op, variant):
+    _run_binary(*keys, op, 8, variant)
 
 
 # The 32/64-bit sweep runs in an ISOLATION SUBPROCESS inside the default
@@ -176,12 +187,14 @@ def test_enc_enc_wide(keys, op, bits):
 @pytest.mark.skipif(
     not _WIDE_INNER, reason="runs inside the wide-sweep isolation subprocess"
 )
-@pytest.mark.parametrize("bits", [32, 64])
+@pytest.mark.parametrize("bits", [16, 32, 64])
 @pytest.mark.parametrize("variant", ["scalarL", "scalarR"])
 @pytest.mark.parametrize("op", ALL_OPS)
 def test_scalar_wide(keys, op, variant, bits):
     # the reference's generated matrix includes the euintX_uintX /
-    # uintX_euintX overloads at every width (fhevmOperations4-13.ts)
+    # uintX_euintX overloads at every width (fhevmOperations4-13.ts).
+    # 16-bit runs here too: the in-process suite has an XLA:CPU
+    # cumulative-compile segfault budget (see test_enc_enc_wide_isolated)
     _run_binary(*keys, op, bits, variant)
 
 
@@ -269,9 +282,12 @@ def test_shift_rotate_amounts(keys, op, amount):
                                   err_msg=f"{op}/{amount}")
 
 
+@pytest.mark.skipif(
+    not _WIDE_INNER, reason="runs inside the wide-sweep isolation subprocess"
+)
 @pytest.mark.parametrize("amount", [0, 5, 15, 16])
 @pytest.mark.parametrize("op", ["shl", "shr", "rotl", "rotr"])
-def test_shift_rotate_amounts_16(keys, op, amount):
+def test_shift16_wide(keys, op, amount):
     ck, sk = keys
     bits = 16
     a = _vals(bits, 211 + amount)
@@ -319,8 +335,12 @@ def test_shift_encrypted_amount(keys, op):
 # -- div / rem incl. division by zero ---------------------------------------
 
 
-@pytest.mark.parametrize("bits", [8, 16])
-def test_div_rem_enc(keys, bits):
+@pytest.mark.parametrize(
+    "bits",
+    [8, pytest.param(16, marks=pytest.mark.skipif(
+        not _WIDE_INNER, reason="wide-sweep isolation subprocess"))],
+)
+def test_div_rem_wide_enc(keys, bits):
     ck, sk = keys
     a = _vals(bits, 55)
     b = _vals(bits, 56, edges=False)
@@ -362,11 +382,15 @@ def test_scalar_div_rem_wide_sweep(keys):
         np.testing.assert_array_equal(_dec(ck, ri.scalar_rem(sk, ea, s)), a % s)
 
 
+_W = pytest.mark.skipif(not _WIDE_INNER,
+                        reason="wide-sweep isolation subprocess")
 @pytest.mark.parametrize("src,dst", [
     (8, 16), (16, 8), (8, 32), (32, 8), (16, 32), (32, 16),
-    (8, 64), (64, 8), (16, 64), (64, 16), (32, 64), (64, 32),
+    pytest.param(8, 64, marks=_W), pytest.param(64, 8, marks=_W),
+    pytest.param(16, 64, marks=_W), pytest.param(64, 16, marks=_W),
+    pytest.param(32, 64, marks=_W), pytest.param(64, 32, marks=_W),
 ])
-def test_casts(keys, src, dst):
+def test_casts_wide_matrix(keys, src, dst):
     ck, sk = keys
     a = _vals(src, 900 + src * dst)
     ea = _enc(ck, a, src)
