@@ -155,12 +155,26 @@ def test_user_decrypt_rejects_bad_signature(client):
     contract = "0x" + "bd" * 20
     h = client.encrypt(9, "euint8", user=user, contract=contract)["handle"]
     body = _raw_user_decrypt_body(client, [(h, contract)], priv)
+    # flip the recovery id between the two MEANINGFUL values (27 <-> 28):
+    # setting it to 0x00/0x01 is not a tamper -- recover treats v=0/1 as
+    # aliases of 27/28 (standard Ethereum encoding), and since v depends
+    # on the RFC-6979 nonce over a timestamp-bearing digest, that made
+    # this test pass or fail on the clock
     body["signature"] = body["signature"][:-2] + (
-        "00" if body["signature"][-2:] != "00" else "01"
+        "1c" if body["signature"][-2:] == "1b" else "1b"
     )
     with pytest.raises(FheClientError) as e:
         client._post("/user-decrypt", body)
     assert e.value.code == 403
+    # and a corrupted s byte must never verify either
+    body2 = _raw_user_decrypt_body(client, [(h, contract)], priv)
+    mid = body2["signature"][:70] + (
+        "00" if body2["signature"][70:72] != "00" else "01"
+    ) + body2["signature"][72:]
+    body2["signature"] = mid
+    with pytest.raises(FheClientError) as e2:
+        client._post("/user-decrypt", body2)
+    assert e2.value.code == 403
 
 
 def test_user_decrypt_rejects_unlisted_contract(client):
