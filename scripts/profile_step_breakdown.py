@@ -43,7 +43,7 @@ def main():
     ck, sk = si.keygen(P, seed=1)
     bsk = sk.bsk
     n = engine.n
-    tm = 16
+    tm = int(os.environ.get("TFHE_TPU_TM", "32"))
 
     bv, bs = bsk_to_step_layout(bsk.bsk_ntt)
     table = monomial_ntt_table(engine)
