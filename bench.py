@@ -120,7 +120,7 @@ def main():
                         "batch": batch,
                         "iters": iters,
                         "engine": "multibit_group3",
-                        "classic_pbs_per_s_artifact": 269.79,
+                        "classic_pbs_per_s_artifact": 317.51,
                         **mb["detail"],
                         "backend": jax.devices()[0].platform,
                     },

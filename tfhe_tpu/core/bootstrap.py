@@ -181,16 +181,17 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
     b = 1
     for d in batch:
         b *= d
-    # adaptive kernel tile rows (ciphertexts per grid step): 32 measured
-    # 21% faster than round 1's 16 at batch 512 (needs the raised vmem
-    # limit, which pallas_blind_rotate sets for tm > 16); small batches
-    # shrink the tile so padding never dominates
+    # adaptive kernel tile rows (ciphertexts per grid step): 64 measured
+    # fastest with the packed stage matmuls (317.5 vs 313.6 PBS/s at
+    # tm=32, batch 512; steps=8 exceeds scoped VMEM). Needs the raised
+    # vmem limit, which pallas_blind_rotate sets for tm > 16; small
+    # batches shrink the tile so padding never dominates
     env_tm = os.environ.get("TFHE_TPU_TM")
     if env_tm:
         tm = int(env_tm)
     else:
         tm = 16
-        while tm < 32 and tm < b:
+        while tm < 64 and tm < b:
             tm *= 2
     pad = (-b) % tm
     flat = acc.reshape(b, 2, n_poly)
