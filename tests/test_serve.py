@@ -19,7 +19,10 @@ def server():
 
 @pytest.fixture(scope="module")
 def client(server):
-    return FheClient(f"http://127.0.0.1:{server.port}")
+    # generous timeout: a fresh op shape compiles a new XLA:CPU program
+    # server-side, which can exceed the 30 s production default on a
+    # loaded single-core host (observed flaking the batched-op tests)
+    return FheClient(f"http://127.0.0.1:{server.port}", timeout=240.0)
 
 
 def test_health(client):

@@ -145,12 +145,14 @@ def monomial_x_table(engine: NegacyclicEngine):
             polys[e, e] = 1
         else:
             polys[e, e - n] = -1
-    # NOTE: must be called EAGERLY (outside any jit trace): the cached
-    # table is a device array passed into jitted programs as an ARGUMENT
-    # -- never a captured constant (200 MB constants blow the remote
-    # compile payload; tracers would leak across traces).
-    f = engine.forward_small(jnp.asarray(polys))
-    return engine.make_shoup(f)
+    # The cached table is a device array passed into jitted programs as
+    # an ARGUMENT -- never a captured constant (200 MB constants blow
+    # the remote compile payload). ensure_compile_time_eval keeps the
+    # cached value CONCRETE even if the first call happens under an
+    # outer jit trace (a cached tracer would poison every later program).
+    with jax.ensure_compile_time_eval():
+        f = engine.forward_small(jnp.asarray(polys))
+        return engine.make_shoup(f)
 
 
 def group_exponents(a_t: jax.Array, group_size: int, two_n: int) -> jax.Array:

@@ -624,4 +624,8 @@ class FoldedCrtEngine:
 def get_folded_engine(
     n: int, primes: Sequence[int] = FOLDED_PRIMES
 ) -> FoldedCrtEngine:
-    return FoldedCrtEngine(n, primes)
+    # Concrete table values even when the first construction happens
+    # inside a jit trace (the engine is cached; tracer-valued tables
+    # would poison every later program -- see polynomial.get_engine).
+    with jax.ensure_compile_time_eval():
+        return FoldedCrtEngine(n, primes)

@@ -83,8 +83,12 @@ def monomial_ntt_table(engine: FoldedCrtEngine):
         else:
             polys[e, e - n] -= 1
         polys[e, 0] -= 1
-    f = engine.forward_small(jnp.asarray(polys))  # (2N, P, N)
-    return engine.make_shoup(f)  # (2N, P, 2, N)
+    # concrete even when first called under an outer jit trace: the
+    # result is lru-cached, and caching a traced value poisons every
+    # later program with the stale tracer (KeyError: Var)
+    with jax.ensure_compile_time_eval():
+        f = engine.forward_small(jnp.asarray(polys))  # (2N, P, N)
+        return engine.make_shoup(f)  # (2N, P, 2, N)
 
 
 def make_pallas_blind_rotate(

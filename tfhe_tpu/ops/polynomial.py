@@ -522,7 +522,14 @@ def get_engine(
     limb_bits: int = DEFAULT_LIMB_BITS,
     ntt_impl: str = "four_step",
 ) -> NegacyclicEngine:
-    return NegacyclicEngine(n, primes, limb_bits, ntt_impl)
+    # The engine is lru-cached and its constructor creates device tables
+    # via traced ops (.astype); if the FIRST construction happens inside
+    # a jit trace, those tables would be TRACERS of that trace and every
+    # later program reusing the cached engine dies with KeyError: Var.
+    # ensure_compile_time_eval forces concrete (eager) table values no
+    # matter where the first call happens.
+    with jax.ensure_compile_time_eval():
+        return NegacyclicEngine(n, primes, limb_bits, ntt_impl)
 
 
 def negacyclic_polymul_reference(a, b, q: int = 2**64) -> np.ndarray:
