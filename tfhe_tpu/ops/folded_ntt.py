@@ -54,6 +54,25 @@ I32 = jnp.int32
 # 469762049 = 7*2^26+1, 754974721 = 45*2^24+1, 998244353 = 119*2^23+1
 FOLDED_PRIMES = (469762049, 754974721, 998244353)
 
+# 4x ~2^24 primes (descending, = k*2^13+1, ord_2(p-1) >= 13): every
+# transform operand fits THREE balanced base-256 digit planes instead of
+# four -- centered residues |x| <= p/2 <= 8290176 keep the top digit
+# <= 127 (int8-exact), so stage matmul cost drops ~37% and the packed
+# recombiner runs nk=5 row blocks instead of 8 (PERF_NOTES.md round-4
+# lever). CRT range 2^95.9 (> the 3-prime 2^89.2): key-storage msb
+# IMPROVES. Costs one extra Garner limb (~3% of a PBS step).
+FOLDED_PRIMES_4 = (16515073, 16490497, 16465921, 16384001)
+
+
+def default_primes() -> tuple:
+    """Engine prime set: TFHE_TPU_PRIMES=4 opts into the 4x 23.98-bit
+    CRT (read per call; get_folded_engine caches per resolved tuple)."""
+    import os
+
+    if os.environ.get("TFHE_TPU_PRIMES", "3") == "4":
+        return FOLDED_PRIMES_4
+    return FOLDED_PRIMES
+
 
 # ---------------------------------------------------------------------------
 # u32 modular primitives (no u64 anywhere)
@@ -193,17 +212,20 @@ def _split4_signed_i32(x: jax.Array) -> jax.Array:
     return _split_signed_i32(x, 4)
 
 
-def _balanced_digits_host(m: np.ndarray, p: int) -> np.ndarray:
+def _balanced_digits_host(
+    m: np.ndarray, p: int, nplanes: int = 4
+) -> np.ndarray:
     """Matrix entries mod p -> centered then balanced base-256 digits.
-    m: (..., ) uint64 in [0, p). Returns (..., 4) float32 with |d| <= 128."""
+    m: (..., ) uint64 in [0, p). Returns (..., nplanes) float32 with
+    |d| <= 128 (nplanes=3 needs p/2 <= 8290176, i.e. the 2^24 sets)."""
     v = m.astype(np.int64)
     v = np.where(v > p // 2, v - p, v)  # centered: |v| <= p/2 < 2^29
-    out = np.empty(m.shape + (4,), dtype=np.int64)
-    for k in range(3):
+    out = np.empty(m.shape + (nplanes,), dtype=np.int64)
+    for k in range(nplanes - 1):
         d = ((v + 128) & 255) - 128
         out[..., k] = d
         v = (v - d) >> 8
-    out[..., 3] = v
+    out[..., nplanes - 1] = v
     assert np.abs(out).max() <= 128
     return out.astype(np.float32)
 
@@ -236,6 +258,10 @@ class FoldedNtt:
         self.p = p
         self.n = n
         self.ctx = _PrimeCtx(p)
+        # table/mid-value digit planes: 3 when centered residues
+        # |x| <= p/2 keep the top balanced digit <= 127 (int8/bf16
+        # exact), else 4 (the sub-2^30 sets)
+        self.na = 3 if p <= 16580352 else 4
         r, c = _factor(n)
         self.r_dim, self.c_dim = r, c
         # f32 accumulation exactness needs 128*128*K < 2^24 (K <= 1024);
@@ -295,30 +321,32 @@ class FoldedNtt:
                 vi[cc, t] = pow(om_c_inv, cc * t, p) * fold % p
 
         as_limb = lambda x: jnp.asarray(x).astype(_limb_dtype())
-        self.v_l = as_limb(_balanced_digits_host(v, p))  # (C, C, 4)
-        self.m_l = as_limb(_balanced_digits_host(m, p))  # (C, R, R, 4)
-        self.mi_l = as_limb(_balanced_digits_host(mi, p))  # (C, R, R, 4)
-        self.vi_l = as_limb(_balanced_digits_host(vi, p))  # (C, C, 4)
+        na = self.na
+        self.v_l = as_limb(_balanced_digits_host(v, p, na))  # (C, C, na)
+        self.m_l = as_limb(_balanced_digits_host(m, p, na))  # (C, R, R, na)
+        self.mi_l = as_limb(_balanced_digits_host(mi, p, na))
+        self.vi_l = as_limb(_balanced_digits_host(vi, p, na))  # (C, C, na)
 
     # -- digit-block recombination ------------------------------------------
 
     def _recombine(self, blocks: jax.Array, big: bool = False) -> jax.Array:
-        """blocks: (..., 4a, D1, D2, 4b) f32/i32 exact digit-pair dot
+        """blocks: (..., na, D1, D2, nb) f32/i32 exact digit-pair dot
         products; returns (..., D1, D2) u32 in [0, 2p) congruent to
         sum_{a,b} blocks * 256^(a+b).
 
         big=False: contraction K <= 64 (|block| <= 2^20): weight classes
-        pair-combine into 2^16 limbs -> 4 Shoup reductions.
-        big=True: K <= 128 (|block| <= 2^21): with nb=4 input planes S_3
+        pair-combine into 2^16 limbs -> <= 4 Shoup reductions.
+        big=True: K <= 128 (|block| <= 2^21): with na=nb=4 planes S_3
         (four blocks) would overflow i32 when shifted, so it reduces in
-        two halves (5 Shoup reductions); with nb=3 planes every class has
-        <= 3 blocks and pair-combining is safe (3 reductions)."""
+        two halves (5 Shoup reductions); any 3-plane side caps every
+        class at <= 3 blocks and pair-combining is safe."""
         b = blocks.astype(I32)
+        na = blocks.shape[-4]
         nb = blocks.shape[-1]
         blk = lambda a, bb: b[..., a, :, :, bb]
-        split3 = big and nb == 4
-        s = [None] * (3 + nb)
-        for a in range(4):
+        split3 = big and na == 4 and nb == 4
+        s = [None] * (na + nb - 1)
+        for a in range(na):
             for bb in range(nb):
                 if split3 and a + bb == 3:
                     continue
@@ -350,6 +378,21 @@ class FoldedNtt:
             out = _condsub(out + r1b, ctx.two_p)
         return out
 
+    # -- mid-stage digit planes ------------------------------------------------
+
+    def _center_i32(self, r: jax.Array) -> jax.Array:
+        """u32 residues in [0, 2p) -> centered i32 in [-p/2, p/2]."""
+        c = _condsub(r, self.ctx.pu).astype(I32)
+        halfp = np.int32(self.p // 2)
+        return c - jnp.where(c > halfp, np.int32(self.p), np.int32(0))
+
+    def _mid_planes(self, y: jax.Array) -> jax.Array:
+        """Digit planes of a mid-stage residue tensor ([0, 2p) u32):
+        na=3 centers first (top digit stays <= 127), na=4 splits raw."""
+        if self.na == 3:
+            return _split_signed_i32(self._center_i32(y), 3)
+        return _split4_signed_i32(y.astype(I32))
+
     # -- transforms -----------------------------------------------------------
 
     def forward_planes(self, xl: jax.Array) -> jax.Array:
@@ -363,7 +406,7 @@ class FoldedNtt:
             preferred_element_type=jnp.float32,
         )  # (..., 4a, C_t, R_r, 4b)
         y = self._recombine(y, big=self._big_c)  # (..., C, R) in [0, 2p)
-        yl = _split4_signed_i32(y.astype(I32))  # (..., C, R, 4)
+        yl = self._mid_planes(y)  # (..., C, R, na)
         z = jnp.einsum(
             "tsra,...trb->...atsb",
             self.m_l,
@@ -381,8 +424,11 @@ class FoldedNtt:
     def inverse(self, f: jax.Array) -> jax.Array:
         """f: (..., N) u32 < 2^31 (lazy ok), folded layout. Returns
         (..., N) u32 residues in [0, p), natural coefficient order."""
-        fm = f.reshape(*f.shape[:-1], self.c_dim, self.r_dim).astype(I32)
-        fl = _split4_signed_i32(fm)  # (..., C_t, R_s, 4)
+        fm = f.reshape(*f.shape[:-1], self.c_dim, self.r_dim)
+        if self.na == 3:
+            fl = _split_signed_i32(self._center_i32(fm), 3)
+        else:
+            fl = _split4_signed_i32(fm.astype(I32))  # (..., C_t, R_s, 4)
         u = jnp.einsum(
             "trsa,...tsb->...atrb",
             self.mi_l,
@@ -390,7 +436,7 @@ class FoldedNtt:
             preferred_element_type=jnp.float32,
         )  # (..., 4a, C_t, R_r, 4b)
         u = self._recombine(u, big=self._big_r)  # (..., C_t, R_r)
-        ul = _split4_signed_i32(u.astype(I32))
+        ul = self._mid_planes(u)
         a = jnp.einsum(
             "cta,...trb->...acrb",
             self.vi_l,
@@ -403,8 +449,51 @@ class FoldedNtt:
 
 
 # ---------------------------------------------------------------------------
-# CRT engine over three primes (NegacyclicEngine-compatible surface)
+# CRT engine over 3 or 4 primes (NegacyclicEngine-compatible surface)
 # ---------------------------------------------------------------------------
+
+
+class GarnerConsts:
+    """Mixed-radix (Garner) constants for x = v0 + p0(v1 + p1(v2 + ...)),
+    v_i in [0, p_i), as numpy u32 scalars (kernel-literal safe).
+
+    Shared by the XLA crt_reconstruct and the fused Pallas kernels
+    (ops/pallas_blind_rotate.garner_pair)."""
+
+    def __init__(self, primes: Sequence[int]):
+        self.primes = tuple(primes)
+        self.np = len(primes)
+        self.p_u32 = tuple(np.uint32(p) for p in primes)
+        prod = 1
+        for p in primes:
+            prod *= p
+        self.prod = prod
+        self.prod_lo = np.uint32(prod % 2**64 & 0xFFFFFFFF)
+        self.prod_hi = np.uint32((prod % 2**64) >> 32)
+
+        def pair(w: int, p: int):
+            w %= p
+            return (np.uint32(w), np.uint32((w << 32) // p))
+
+        # inv[i] = (prod_{j<i} p_j)^{-1} mod p_i; pmod[i][j] = p_j mod p_i
+        self.inv: list = [None] * self.np
+        self.pmod: list = [[None] * self.np for _ in range(self.np)]
+        for i in range(1, self.np):
+            pi = primes[i]
+            prodi = 1
+            for j in range(i):
+                prodi *= primes[j]
+            self.inv[i] = pair(pow(prodi % pi, pi - 2, pi), pi)
+            for j in range(i):
+                self.pmod[i][j] = pair(primes[j], pi)
+        # mixed-radix digits of prod//2 (negative-range threshold)
+        half = prod // 2
+        hs = []
+        t = half
+        for p in primes:
+            hs.append(np.uint32(t % p))
+            t //= p
+        self.h = tuple(hs)
 
 
 class FoldedCrtEngine:
@@ -417,27 +506,25 @@ class FoldedCrtEngine:
     (bootstrap keys, secret keys, model weights) multiply at u32 speed.
     """
 
-    def __init__(self, n: int, primes: Sequence[int] = FOLDED_PRIMES):
+    def __init__(self, n: int, primes: Sequence[int] | None = None):
+        if primes is None:
+            primes = default_primes()
         assert n & (n - 1) == 0
-        assert len(primes) == 3
+        assert 2 <= len(primes) <= 4
+        # ascending: the generic Garner's lazy Horner bound then needs no
+        # extra reductions (v_j < p_j < p_i for every j < i)
+        assert tuple(primes) == tuple(sorted(primes))
         self.n = n
         self.primes = tuple(primes)
+        self.n_primes = len(self.primes)
         self.ntts = [FoldedNtt(p, n) for p in self.primes]
+        assert len({ntt.na for ntt in self.ntts}) == 1, "uniform planes"
         self.ntt_impl = "folded"
-        p1, p2, p3 = self.primes
-        prod = p1 * p2 * p3
+        prod = 1
+        for p in self.primes:
+            prod *= p
         self.max_product_bits = int(np.floor(np.log2(prod / 2) - np.log2(n)))
-        # Garner constants (u32 Shoup pairs)
-        self._g_inv_p1_p2 = self._pair(pow(p1, p2 - 2, p2), p2)
-        self._g_p1_mod_p3 = self._pair(p1 % p3, p3)
-        self._g_inv_p1p2_p3 = self._pair(pow(p1 * p2 % p3, p3 - 2, p3), p3)
-        self._p1_u64 = U64(p1)
-        self._p2_u64 = U64(p2)
-        self._prod_mod64 = U64(prod % 2**64)
-        half = prod // 2
-        self._h3 = U32(half // (p1 * p2))
-        self._h2 = U32(half % (p1 * p2) // p1)
-        self._h1 = U32(half % p1)
+        self.garner = GarnerConsts(self.primes)
         # Fused Pallas kernels carry the PBS hot path on TPU (forward of
         # gadget digits + inverse): they keep the 16x digit-block f32
         # intermediates in VMEM, where the XLA path is HBM-bound on them.
@@ -578,33 +665,39 @@ class FoldedCrtEngine:
     def crt_reconstruct(self, r: list) -> jax.Array:
         """Garner: per-prime u32 residues (canonical [0, p_i)) -> exact
         signed value mod 2^64 (u64). u32 Shoup throughout; the only u64
-        ops are two multiplies and adds for the final Horner form."""
-        r1, r2, r3 = r
-        c1, c2, c3 = (ntt.ctx for ntt in self.ntts)
-        v1 = r1
-        w, ws, _ = self._g_inv_p1_p2
-        d = r2 + c2.two_p - v1  # v1 < p1 < 2*p2: positive, < 3*p2 < 2^32
-        v2 = _condsub(shoup_mulmod(d, w, ws, c2.pu), c2.pu)  # [0, p2)
-        w, ws, _ = self._g_p1_mod_p3
-        lo3 = shoup_mulmod(v2, w, ws, c3.pu) + v1  # < 2p3 + p1 < 3p3
-        lo3 = _condsub(lo3, c3.two_p)  # < 2*p3
-        w, ws, _ = self._g_inv_p1p2_p3
-        d3 = r3 + c3.two_p - lo3  # positive, < 3*p3 < 2^32
-        v3 = _condsub(shoup_mulmod(d3, w, ws, c3.pu), c3.pu)  # [0, p3)
-        x = v1.astype(U64) + self._p1_u64 * (
-            v2.astype(U64) + self._p2_u64 * v3.astype(U64)
-        )
-        neg = (v3 > self._h3) | (
-            (v3 == self._h3)
-            & ((v2 > self._h2) | ((v2 == self._h2) & (v1 > self._h1)))
-        )
-        return x - jnp.where(neg, self._prod_mod64, U64(0))
+        ops are the final Horner multiplies/adds (which wrap mod 2^64 --
+        exactly the modulus wanted)."""
+        g = self.garner
+        ctxs = [ntt.ctx for ntt in self.ntts]
+        v = [r[0]]  # mixed-radix digits, v[i] in [0, p_i)
+        for i in range(1, g.np):
+            ctx = ctxs[i]
+            # lo_i = (v0 + p0(v1 + ...)) mod p_i, Horner from the top
+            # digit; lazy bound: shoup < 2p_i plus one v_j < p_max
+            # < 2*p_min stays < 4p_i, one condsub restores [0, 2p_i)
+            t = v[i - 1]
+            for j in range(i - 2, -1, -1):
+                w, ws = g.pmod[i][j]
+                t = _condsub(shoup_mulmod(t, w, ws, ctx.pu) + v[j], ctx.two_p)
+            d = r[i] + ctx.two_p - _condsub(t, ctx.two_p)  # (0, 4p_i)
+            w, ws = g.inv[i]
+            v.append(_condsub(shoup_mulmod(d, w, ws, ctx.pu), ctx.pu))
+        x = v[-1].astype(U64)
+        for j in range(g.np - 2, -1, -1):
+            x = v[j].astype(U64) + U64(self.primes[j]) * x
+        # negative range: lexicographic compare of digits vs prod//2
+        neg = v[-1] > g.h[-1]
+        eq = v[-1] == g.h[-1]
+        for j in range(g.np - 2, -1, -1):
+            neg = neg | (eq & (v[j] > g.h[j]))
+            eq = eq & (v[j] == g.h[j])
+        return x - jnp.where(neg, U64(g.prod % 2**64), U64(0))
 
     def backward(self, f: jax.Array, shift: int = 0) -> jax.Array:
         """(..., P, N) u32 (values < 2^31) -> (..., N) u64 coefficients."""
         if self._pallas_inv is not None:
             res = self._pallas_inv(f)
-            r = [res[..., i, :] for i in range(3)]
+            r = [res[..., i, :] for i in range(self.n_primes)]
         else:
             r = [ntt.inverse(f[..., i, :]) for i, ntt in enumerate(self.ntts)]
         x = self.crt_reconstruct(r)
@@ -620,10 +713,16 @@ class FoldedCrtEngine:
         return self.backward(self.pointwise_mul(fa, fb))
 
 
-@functools.lru_cache(maxsize=None)
 def get_folded_engine(
-    n: int, primes: Sequence[int] = FOLDED_PRIMES
+    n: int, primes: Sequence[int] | None = None
 ) -> FoldedCrtEngine:
+    if primes is None:
+        primes = default_primes()  # env-resolved BEFORE the cache key
+    return _get_folded_engine_cached(n, tuple(primes))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_folded_engine_cached(n: int, primes: tuple) -> FoldedCrtEngine:
     # Concrete table values even when the first construction happens
     # inside a jit trace (the engine is cached; tracer-valued tables
     # would poison every later program -- see polynomial.get_engine).
