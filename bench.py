@@ -48,7 +48,99 @@ def _probe_backend(timeout_s: int = 600) -> str | None:
     return r.stdout.strip() if r.returncode == 0 else None
 
 
+def _dry_run() -> None:
+    """Pre-commit smoke (`python bench.py --dry-run`): build and execute
+    BOTH bootstrap engines end-to-end at a tiny fused-kernel-capable
+    parameter set on whatever backend is available (CPU interpret mode
+    off-chip), decrypt-verify, and print one JSON line. Exercises engine
+    construction, the fused Pallas kernels and the decode path, so a
+    refactor that breaks the hot path can never be committed with a
+    green smoke (VERDICT r4 weak #9). Forces the CPU backend so the
+    smoke is tunnel-independent and fast (interpret-mode kernels)."""
+    import dataclasses
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfhe_tpu import params as tp
+    from tfhe_tpu.core import bootstrap as bt
+    from tfhe_tpu.core.lwe import (
+        decrypt_lwe,
+        encrypt_lwe,
+        sample_extract,
+    )
+    from tfhe_tpu.core.keys import (
+        gen_glwe_secret_key,
+        gen_lwe_secret_key,
+        glwe_to_lwe_secret_key,
+    )
+    from tfhe_tpu.core.multibit import (
+        gen_multibit_bootstrap_key,
+        multibit_blind_rotate,
+    )
+    from tfhe_tpu.models import shortint as si
+    from tfhe_tpu.rng import FheRng
+    from tfhe_tpu.torus import decode, encode
+
+    P = dataclasses.replace(
+        tp.TOY_SHORTINT_NOISELESS,
+        name="BENCH_DRYRUN",
+        pbs=tp.GadgetParams(base_log=23, level=1),
+    )
+    engine = si.engine_for(P)
+    engine_use, engine.use_pallas = engine.use_pallas, True
+    try:
+        rng = FheRng(3)
+        lwe_sk = gen_lwe_secret_key(rng, P.lwe_dimension)
+        glwe_sk = gen_glwe_secret_key(
+            rng, P.glwe_dimension, P.polynomial_size
+        )
+        big_sk = glwe_to_lwe_secret_key(glwe_sk)
+        table = np.asarray([(3 * v) % 4 for v in range(16)], dtype=np.uint64)
+        lut = si.generate_lut(P, table)
+        msgs = jnp.asarray(np.arange(6) % 4, dtype=jnp.uint64)
+        ct = encrypt_lwe(lwe_sk, encode(msgs, P.delta), rng.fork(), P.lwe_noise)
+        want = table[np.asarray(msgs)] % 4
+
+        # classic fused path
+        bsk = bt.gen_bootstrap_key(
+            lwe_sk, glwe_sk, P.pbs, rng.fork(), P.glwe_noise, engine
+        )
+        out = bt.programmable_bootstrap(ct, lut, bsk, engine)
+        dec = np.asarray(decode(decrypt_lwe(big_sk, out), P.delta, 16)) % 4
+        assert (dec == want).all(), "dry-run: classic PBS output wrong"
+
+        # multi-bit fused path
+        mbk = gen_multibit_bootstrap_key(
+            lwe_sk, glwe_sk, P.pbs, 2, rng.fork(), P.glwe_noise, engine
+        )
+        glwe = multibit_blind_rotate(lut, ct, mbk, engine)
+        dec2 = np.asarray(
+            decode(decrypt_lwe(big_sk, sample_extract(glwe, 0)), P.delta, 16)
+        ) % 4
+        assert (dec2 == want).all(), "dry-run: multibit PBS output wrong"
+    finally:
+        engine.use_pallas = engine_use
+
+    print(json.dumps({
+        "metric": "pbs_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "PBS/s",
+        "vs_baseline": 0.0,
+        "detail": {"dry_run": True, "backend": jax.default_backend(),
+                   "engines_verified": ["classic_fused", "multibit_fused"]},
+    }))
+
+
 def main():
+    if "--dry-run" in sys.argv:
+        _dry_run()
+        return
     backend = _probe_backend()
     if backend is None:
         import os

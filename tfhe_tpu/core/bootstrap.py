@@ -219,12 +219,14 @@ def _blind_rotate_fused(acc, a_steps, bsk: BootstrapKey, engine) -> jax.Array:
     bs = bs.reshape(n_steps // steps, steps, *bs.shape[1:])
     e = e.reshape(n_steps // steps, steps, bp)
 
+    n_pr = engine.n_primes
+
     def body(carry, xs):
         clo, chi = carry
-        bvj, bsj, ej = xs  # (steps, 12, N) x2, (steps, B)
+        bvj, bsj, ej = xs  # (steps, 4P, N) x2, (steps, B)
         rows = rot_table[ej]  # (steps, B, P, 2, N)
-        rv = rows[..., 0, :].reshape(steps, bp * 3, n_poly)
-        rs = rows[..., 1, :].reshape(steps, bp * 3, n_poly)
+        rv = rows[..., 0, :].reshape(steps, bp * n_pr, n_poly)
+        rs = rows[..., 1, :].reshape(steps, bp * n_pr, n_poly)
         clo, chi = step_fn(clo, chi, rv, rs, bvj, bsj)
         return (clo, chi), None
 

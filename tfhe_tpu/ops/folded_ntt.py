@@ -54,24 +54,34 @@ I32 = jnp.int32
 # 469762049 = 7*2^26+1, 754974721 = 45*2^24+1, 998244353 = 119*2^23+1
 FOLDED_PRIMES = (469762049, 754974721, 998244353)
 
-# 4x ~2^24 primes (descending, = k*2^13+1, ord_2(p-1) >= 13): every
+# 4x ~2^24 primes (ascending, = k*2^13+1, ord_2(p-1) >= 13): every
 # transform operand fits THREE balanced base-256 digit planes instead of
 # four -- centered residues |x| <= p/2 <= 8290176 keep the top digit
 # <= 127 (int8-exact), so stage matmul cost drops ~37% and the packed
 # recombiner runs nk=5 row blocks instead of 8 (PERF_NOTES.md round-4
-# lever). CRT range 2^95.9 (> the 3-prime 2^89.2): key-storage msb
+# lever). CRT range 2^95.9 (> the 3-prime 2^88.2): key-storage msb
 # IMPROVES. Costs one extra Garner limb (~3% of a PBS step).
-FOLDED_PRIMES_4 = (16515073, 16490497, 16465921, 16384001)
+FOLDED_PRIMES_4 = (16384001, 16465921, 16490497, 16515073)
 
 
-def default_primes() -> tuple:
-    """Engine prime set: TFHE_TPU_PRIMES=4 opts into the 4x 23.98-bit
-    CRT (read per call; get_folded_engine caches per resolved tuple)."""
+def _resolve_default_primes() -> tuple:
     import os
 
     if os.environ.get("TFHE_TPU_PRIMES", "3") == "4":
         return FOLDED_PRIMES_4
     return FOLDED_PRIMES
+
+
+# Resolved ONCE at import: the prime set is a process-level constant, so
+# numerics can never silently change between two calls in one process.
+# Tests/benches that want the other set pass `primes=` to the engine
+# constructor (or set TFHE_TPU_PRIMES before the first tfhe_tpu import).
+DEFAULT_PRIMES = _resolve_default_primes()
+
+
+def default_primes() -> tuple:
+    """The process-default engine prime set (see DEFAULT_PRIMES)."""
+    return DEFAULT_PRIMES
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +507,9 @@ class GarnerConsts:
 
 
 class FoldedCrtEngine:
-    """Exact negacyclic polymul mod 2^64 over FOLDED_PRIMES.
+    """Exact negacyclic polymul mod 2^64 over a configurable CRT prime
+    set (2-4 primes; FOLDED_PRIMES by default, FOLDED_PRIMES_4 for the
+    4x ~2^24 three-digit-plane variant).
 
     Drop-in upgrade of ops.polynomial.NegacyclicEngine for the hot paths:
     same forward/pointwise/backward contract (NTT-domain tensors are

@@ -71,6 +71,62 @@ def _mul32x32(a, b):
     return a * b, _mulhi_u32(a, b)
 
 
+def make_garner_pair(engine: FoldedCrtEngine, shift: int):
+    """Kernel-side Garner: per-prime canonical residues -> signed CRT
+    value mod 2^64 as (lo, hi) u32 planes, shifted left by `shift`.
+
+    Generic over the engine's 2-4 prime set via engine.garner
+    (GarnerConsts: numpy-scalar constants, kernel-literal safe). Same
+    math as FoldedCrtEngine.crt_reconstruct with the u64 Horner replaced
+    by u32 pair arithmetic (no u64 anywhere inside Pallas)."""
+    g = engine.garner
+    ctxs = [ntt.ctx for ntt in engine.ntts]
+    n_pr = g.np
+    p_u = g.p_u32
+    prod_lo, prod_hi = g.prod_lo, g.prod_hi
+    h = g.h
+    sh = shift
+    assert 0 <= sh < 32
+
+    def garner(res):
+        # mixed-radix digits v[i] in [0, p_i); primes ascending keeps the
+        # lazy Horner bound < 3p_i (one condsub restores [0, 2p_i))
+        v = [res[0]]
+        for i in range(1, n_pr):
+            ctx = ctxs[i]
+            t = v[i - 1]
+            for j in range(i - 2, -1, -1):
+                w, ws = g.pmod[i][j]
+                t = _condsub(shoup_mulmod(t, w, ws, ctx.pu) + v[j], ctx.two_p)
+            d = res[i] + ctx.two_p - _condsub(t, ctx.two_p)
+            w, ws = g.inv[i]
+            v.append(_condsub(shoup_mulmod(d, w, ws, ctx.pu), ctx.pu))
+        # x = v0 + p0(v1 + p1(v2 + ...)) mod 2^64, Horner from the top
+        xl = v[-1]
+        xh = jnp.zeros_like(xl)
+        for j in range(n_pr - 2, -1, -1):
+            tl, th = _mul32x32(p_u[j], xl)
+            th = th + p_u[j] * xh  # (p_j * xh) << 32 wraps into hi
+            xl, xh = _add_pair(tl, th, v[j], jnp.zeros_like(v[j]))
+        # negative range: lexicographic digit compare vs prod//2
+        neg = v[-1] > h[-1]
+        eq = v[-1] == h[-1]
+        for j in range(n_pr - 2, -1, -1):
+            neg = neg | (eq & (v[j] > h[j]))
+            eq = eq & (v[j] == h[j])
+        xl, xh = _sub_pair(
+            xl, xh,
+            jnp.where(neg, prod_lo, np.uint32(0)),
+            jnp.where(neg, prod_hi, np.uint32(0)),
+        )
+        if sh:
+            xh = (xh << np.uint32(sh)) | (xl >> np.uint32(32 - sh))
+            xl = xl << np.uint32(sh)
+        return xl, xh
+
+    return garner
+
+
 @functools.lru_cache(maxsize=None)
 def monomial_ntt_table(engine: FoldedCrtEngine):
     """(2N, P, 2, N) u32: Shoup pairs of NTT(X^e - 1) for e in [0, 2N).
@@ -97,15 +153,16 @@ def make_pallas_blind_rotate(
 ):
     """Returns step(acc_lo, acc_hi, rotv, rots, bskv, bsks) -> (lo, hi):
       acc_*: (B*2, N) u32 planes of the GLWE accumulator (k+1 = 2)
-      rotv/rots: (steps, B*3, N) u32 -- per-ciphertext NTT(X^{a_j} - 1)
+      rotv/rots: (steps, B*P, N) u32 -- per-ciphertext NTT(X^{a_j} - 1)
                  Shoup rows (ct-major, prime-minor), gathered from
                  monomial_ntt_table by the caller
-      bskv/bsks: (steps, 12, N) u32 -- the GGSWs in Shoup form, rows
+      bskv/bsks: (steps, 4P, N) u32 -- the GGSWs in Shoup form, rows
                  ordered (prime, d, c) = i*4 + d*2 + c.
     `steps` consecutive CMux steps run inside ONE kernel invocation so
     the accumulator round-trips HBM once per `steps` instead of per step.
     """
     n = engine.n
+    n_pr = engine.n_primes
     tables = PallasNttTables(engine)
     cd, rd = tables.c_dim, tables.r_dim
     ctxs = [ntt.ctx for ntt in engine.ntts]
@@ -119,18 +176,7 @@ def make_pallas_blind_rotate(
     st_shift = np.uint32(64 - base_log - 32)
     b_half = np.int32(1 << (base_log - 1))
     b_full = np.int32(1 << base_log)
-    eng = engine
-    p1, p2, p3 = engine.primes
-    g_inv12 = eng._g_inv_p1_p2
-    g_p1m3 = eng._g_p1_mod_p3
-    g_inv123 = eng._g_inv_p1p2_p3
-    p1_u, p2_u = np.uint32(p1), np.uint32(p2)
-    prod = p1 * p2 * p3
-    prod_lo = np.uint32(prod % 2**64 & 0xFFFFFFFF)
-    prod_hi = np.uint32((prod % 2**64) >> 32)
-    h3, h2, h1 = (np.uint32(int(x)) for x in (eng._h3, eng._h2, eng._h1))
-    sh = shift
-    assert 0 <= sh < 32
+    garner = make_garner_pair(engine, shift)
 
     def _one_step(lo, hi, rv, rs, bv, bs):
         # decompose acc directly (level 1, base_log)
@@ -141,7 +187,7 @@ def make_pallas_blind_rotate(
         mk_rhs = make_fwd_rhs_packed if packed else make_fwd_rhs
         rhs1 = mk_rhs(d, cd, rd, tm * 2, 3, ld)
         res = []
-        for i in range(3):
+        for i in range(n_pr):
             ctx = ctxs[i]
             if "fwd" in _skip:
                 fd = d.astype(U32)
@@ -190,34 +236,12 @@ def make_pallas_blind_rotate(
                     )
                 )
         # Garner: residues -> u64 pair, centered, << shift
-        r1, r2, r3 = res
         if "garner" in _skip:
-            return _add_pair(lo, hi, r1, _condsub(r2 + r3, ctxs[2].two_p))
-        c2, c3 = ctxs[1], ctxs[2]
-        v1 = r1
-        w, ws, _ = g_inv12
-        dgar = r2 + c2.two_p - v1
-        v2 = _condsub(shoup_mulmod(dgar, w, ws, c2.pu), c2.pu)
-        w, ws, _ = g_p1m3
-        lo3 = shoup_mulmod(v2, w, ws, c3.pu) + v1
-        lo3 = _condsub(lo3, c3.two_p)
-        w, ws, _ = g_inv123
-        d3 = r3 + c3.two_p - lo3
-        v3 = _condsub(shoup_mulmod(d3, w, ws, c3.pu), c3.pu)
-        tl, th = _mul32x32(p2_u, v3)
-        tl, th = _add_pair(tl, th, v2, jnp.zeros_like(v2))
-        xl, xh = _mul32x32(p1_u, tl)
-        xh = xh + p1_u * th  # (p1*th) << 32 wraps into the hi plane
-        xl, xh = _add_pair(xl, xh, v1, jnp.zeros_like(v1))
-        neg = (v3 > h3) | ((v3 == h3) & ((v2 > h2) | ((v2 == h2) & (v1 > h1))))
-        xl, xh = _sub_pair(
-            xl, xh,
-            jnp.where(neg, prod_lo, np.uint32(0)),
-            jnp.where(neg, prod_hi, np.uint32(0)),
-        )
-        if sh:
-            xh = (xh << np.uint32(sh)) | (xl >> np.uint32(32 - sh))
-            xl = xl << np.uint32(sh)
+            r_sum = res[1]
+            for rr in res[2:]:
+                r_sum = _condsub(r_sum + rr, ctxs[-1].two_p)
+            return _add_pair(lo, hi, res[0], r_sum)
+        xl, xh = garner(res)
         return _add_pair(lo, hi, xl, xh)
 
     v_tabs = [None] * 4
@@ -231,8 +255,8 @@ def make_pallas_blind_rotate(
         lo = lo_ref[:]  # (tm*2, N)
         hi = hi_ref[:]
         for s_idx in range(steps):
-            rv = rv_ref[s_idx].reshape(tm, 3, n)
-            rs = rs_ref[s_idx].reshape(tm, 3, n)
+            rv = rv_ref[s_idx].reshape(tm, n_pr, n)
+            rs = rs_ref[s_idx].reshape(tm, n_pr, n)
             lo, hi = _one_step(lo, hi, rv, rs, bv_ref[s_idx], bs_ref[s_idx])
         olo_ref[:] = lo
         ohi_ref[:] = hi
@@ -256,8 +280,8 @@ def make_pallas_blind_rotate(
             in_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
-                pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
-                pl.BlockSpec((steps, 3 * tm, n), lambda i: (_Z, i, _Z)),
+                pl.BlockSpec((steps, n_pr * tm, n), lambda i: (_Z, i, _Z)),
+                pl.BlockSpec((steps, n_pr * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
                 full(fv), full(fw), full(t.g), full(t.gs),
@@ -289,10 +313,11 @@ def make_pallas_blind_rotate(
 
 
 def bsk_to_step_layout(bsk_ntt: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """BootstrapKey.bsk_ntt (n, D=2, k+1=2, P=3, 2, N) -> per-step
-    (n, 12, N) value and Shoup arrays, rows ordered (prime, d, c)."""
-    v = bsk_ntt[..., 0, :]  # (n, 2, 2, 3, N)
+    """BootstrapKey.bsk_ntt (n, D=2, k+1=2, P, 2, N) -> per-step
+    (n, 4P, N) value and Shoup arrays, rows ordered (prime, d, c)."""
+    v = bsk_ntt[..., 0, :]  # (n, 2, 2, P, N)
     s = bsk_ntt[..., 1, :]
-    v = jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(bsk_ntt.shape[0], 12, -1)
-    s = jnp.transpose(s, (0, 3, 1, 2, 4)).reshape(bsk_ntt.shape[0], 12, -1)
+    rows = 4 * bsk_ntt.shape[-3]
+    v = jnp.transpose(v, (0, 3, 1, 2, 4)).reshape(bsk_ntt.shape[0], rows, -1)
+    s = jnp.transpose(s, (0, 3, 1, 2, 4)).reshape(bsk_ntt.shape[0], rows, -1)
     return v, s

@@ -37,11 +37,7 @@ from tfhe_tpu.ops.folded_ntt import (
     _condsub,
     shoup_mulmod,
 )
-from tfhe_tpu.ops.pallas_blind_rotate import (
-    _add_pair,
-    _mul32x32,
-    _sub_pair,
-)
+from tfhe_tpu.ops.pallas_blind_rotate import make_garner_pair
 from tfhe_tpu.ops.pallas_ntt import (
     PallasNttTables,
     _Z,
@@ -65,14 +61,15 @@ def make_pallas_multibit_step(
 ):
     """Returns step(acc_lo, acc_hi, monov, monos, bskv, bsks) -> (lo, hi):
       acc_*: (B*2, N) u32 accumulator planes (k+1 = 2)
-      monov/monos: (g, B*3, N) u32 -- NTT(X^{a_i}) Shoup rows per group
+      monov/monos: (g, B*P, N) u32 -- NTT(X^{a_i}) Shoup rows per group
                    bit, gathered by the caller (ct-major, prime-minor)
-      bskv/bsks: (2^g * 12, N) u32 -- the group's pattern GGSWs, rows
-                 ordered (v, prime, d, c) = v*12 + i*4 + d*2 + c.
+      bskv/bsks: (2^g * 4P, N) u32 -- the group's pattern GGSWs, rows
+                 ordered (v, prime, d, c) = v*4P + i*4 + d*2 + c.
     The output REPLACES the accumulator (acc <- EP(agg, acc))."""
     g = group_size
     v_count = 1 << g
     n = engine.n
+    n_pr = engine.n_primes
     tables = PallasNttTables(engine)
     cd, rd = tables.c_dim, tables.r_dim
     ctxs = [ntt.ctx for ntt in engine.ntts]
@@ -84,18 +81,7 @@ def make_pallas_multibit_step(
     st_shift = np.uint32(64 - base_log - 32)
     b_half = np.int32(1 << (base_log - 1))
     b_full = np.int32(1 << base_log)
-    eng = engine
-    p1, p2, p3 = engine.primes
-    g_inv12 = eng._g_inv_p1_p2
-    g_p1m3 = eng._g_p1_mod_p3
-    g_inv123 = eng._g_inv_p1p2_p3
-    p1_u, p2_u = np.uint32(p1), np.uint32(p2)
-    prod = p1 * p2 * p3
-    prod_lo = np.uint32(prod % 2**64 & 0xFFFFFFFF)
-    prod_hi = np.uint32((prod % 2**64) >> 32)
-    h3, h2, h1 = (np.uint32(int(x)) for x in (eng._h3, eng._h2, eng._h1))
-    sh = shift
-    assert 0 <= sh < 32
+    garner = make_garner_pair(engine, shift)
 
     def _horner(inners, mv, ms, ctx, bits):
         """Sum_v (prod_{i in v} m_i) * inner_v over v-subsets of `bits`,
@@ -119,7 +105,7 @@ def make_pallas_multibit_step(
         mk_rhs = make_fwd_rhs_packed if packed else make_fwd_rhs
         rhs1 = mk_rhs(d, cd, rd, tm * 2, 3, ld)
         res = []
-        for i in range(3):
+        for i in range(n_pr):
             ctx = ctxs[i]
             if packed:
                 fd = fwd_prime_packed(
@@ -138,7 +124,7 @@ def make_pallas_multibit_step(
             for c in range(2):
                 inners = {}
                 for v in range(v_count):
-                    base = v * 12 + 4 * i
+                    base = v * 4 * n_pr + 4 * i
                     t0 = shoup_mulmod(
                         fdm[:, 0, :], bv[base + c], bs[base + c], ctx.pu
                     )
@@ -166,33 +152,7 @@ def make_pallas_multibit_step(
                     )
                 )
         # Garner -> u64 planes; REPLACES the accumulator
-        r1, r2, r3 = res
-        c2, c3 = ctxs[1], ctxs[2]
-        v1 = r1
-        w, ws, _ = g_inv12
-        dgar = r2 + c2.two_p - v1
-        v2 = _condsub(shoup_mulmod(dgar, w, ws, c2.pu), c2.pu)
-        w, ws, _ = g_p1m3
-        lo3 = shoup_mulmod(v2, w, ws, c3.pu) + v1
-        lo3 = _condsub(lo3, c3.two_p)
-        w, ws, _ = g_inv123
-        d3 = r3 + c3.two_p - lo3
-        v3 = _condsub(shoup_mulmod(d3, w, ws, c3.pu), c3.pu)
-        tl, th = _mul32x32(p2_u, v3)
-        tl, th = _add_pair(tl, th, v2, jnp.zeros_like(v2))
-        xl, xh = _mul32x32(p1_u, tl)
-        xh = xh + p1_u * th
-        xl, xh = _add_pair(xl, xh, v1, jnp.zeros_like(v1))
-        neg = (v3 > h3) | ((v3 == h3) & ((v2 > h2) | ((v2 == h2) & (v1 > h1))))
-        xl, xh = _sub_pair(
-            xl, xh,
-            jnp.where(neg, prod_lo, np.uint32(0)),
-            jnp.where(neg, prod_hi, np.uint32(0)),
-        )
-        if sh:
-            xh = (xh << np.uint32(sh)) | (xl >> np.uint32(32 - sh))
-            xl = xl << np.uint32(sh)
-        return xl, xh
+        return garner(res)
 
     v_tabs = [None] * 4
     i_tabs = [None] * 4
@@ -202,8 +162,8 @@ def make_pallas_multibit_step(
                olo_ref, ohi_ref):
         v_tabs[:] = [v_t, wr_t, g_t, gs_t]
         i_tabs[:] = [wi_t, vi_t, gi_t, gis_t]
-        mv = [mv_ref[b].reshape(tm, 3, n) for b in range(g)]
-        ms = [ms_ref[b].reshape(tm, 3, n) for b in range(g)]
+        mv = [mv_ref[b].reshape(tm, n_pr, n) for b in range(g)]
+        ms = [ms_ref[b].reshape(tm, n_pr, n) for b in range(g)]
         lo, hi = _one_step(lo_ref[:], hi_ref[:], mv, ms, bv_ref, bs_ref)
         olo_ref[:] = lo
         ohi_ref[:] = hi
@@ -225,8 +185,8 @@ def make_pallas_multibit_step(
             in_specs=[
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
                 pl.BlockSpec((2 * tm, n), lambda i: (i, _Z)),
-                pl.BlockSpec((g, 3 * tm, n), lambda i: (_Z, i, _Z)),
-                pl.BlockSpec((g, 3 * tm, n), lambda i: (_Z, i, _Z)),
+                pl.BlockSpec((g, n_pr * tm, n), lambda i: (_Z, i, _Z)),
+                pl.BlockSpec((g, n_pr * tm, n), lambda i: (_Z, i, _Z)),
                 full(bskv),
                 full(bsks),
                 full(fv), full(fw), full(t.g), full(t.gs),
@@ -255,13 +215,14 @@ def make_pallas_multibit_step(
 
 
 def multibit_bsk_to_step_layout(bsk_ntt: jax.Array):
-    """(G, V, D=2, k+1=2, P=3, 2, N) -> per-group (G, V*12, N) value and
+    """(G, V, D=2, k+1=2, P, 2, N) -> per-group (G, V*4P, N) value and
     Shoup arrays, rows ordered (v, prime, d, c)."""
-    v = bsk_ntt[..., 0, :]  # (G, V, 2, 2, 3, N)
+    v = bsk_ntt[..., 0, :]  # (G, V, 2, 2, P, N)
     s = bsk_ntt[..., 1, :]
     gdim, vdim = v.shape[0], v.shape[1]
-    v = jnp.transpose(v, (0, 1, 4, 2, 3, 5)).reshape(gdim, vdim * 12, -1)
-    s = jnp.transpose(s, (0, 1, 4, 2, 3, 5)).reshape(gdim, vdim * 12, -1)
+    rows = vdim * 4 * bsk_ntt.shape[-3]
+    v = jnp.transpose(v, (0, 1, 4, 2, 3, 5)).reshape(gdim, rows, -1)
+    s = jnp.transpose(s, (0, 1, 4, 2, 3, 5)).reshape(gdim, rows, -1)
     return v, s
 
 
@@ -320,6 +281,7 @@ def _scan_rotate(engine, base_log: int, shift: int, g: int, tm: int):
     ARGUMENTS (device-resident, never compile-payload constants)."""
     step_fn = make_pallas_multibit_step(engine, base_log, shift, g, tm=tm)
     n_poly = engine.n
+    n_pr = engine.n_primes
 
     @jax.jit
     def run(lo, hi, bv, bs, e_bits, table):
@@ -327,10 +289,10 @@ def _scan_rotate(engine, base_log: int, shift: int, g: int, tm: int):
 
         def body(carry, xs):
             clo, chi = carry
-            bvj, bsj, ej = xs  # (V*12, N) x2, (g, BP)
+            bvj, bsj, ej = xs  # (V*4P, N) x2, (g, BP)
             rows = table[ej]  # (g, BP, P, 2, N)
-            mv = rows[..., 0, :].reshape(g, bp * 3, n_poly)
-            ms = rows[..., 1, :].reshape(g, bp * 3, n_poly)
+            mv = rows[..., 0, :].reshape(g, bp * n_pr, n_poly)
+            ms = rows[..., 1, :].reshape(g, bp * n_pr, n_poly)
             clo, chi = step_fn(clo, chi, mv, ms, bvj, bsj)
             return (clo, chi), None
 

@@ -114,7 +114,7 @@ def _stack_digits_packed(m: np.ndarray, p: int, nb_rhs: int,
 
 
 class PallasNttTables:
-    """Per-engine constant tables, stacked over the 3 primes."""
+    """Per-engine constant tables, stacked over the engine's primes."""
 
     def __init__(self, engine: FoldedCrtEngine):
         self.engine = engine
@@ -420,6 +420,7 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
     """
     tables = PallasNttTables(engine)
     n = engine.n
+    n_pr = engine.n_primes
     rd, cd = tables.r_dim, tables.c_dim
     ctxs = [ntt.ctx for ntt in engine.ntts]
     big_r = rd > 64
@@ -430,14 +431,14 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
 
     def fwd_kernel(x_ref, v_ref, wr_ref, g_ref, gs_ref, o_ref):
         rhs1 = make_fwd_rhs(x_ref[:], cd, rd, tm, nb, ld)
-        for i in range(3):
+        for i in range(n_pr):
             o_ref[:, i, :] = fwd_prime(
                 rhs1, i, v_ref, wr_ref, g_ref, gs_ref, ctxs[i],
                 cd, rd, tm, nb, big_c, big_r, n,
             )
 
     def inv_kernel(f_ref, wi_ref, vi_ref, gi_ref, gis_ref, o_ref):
-        for i in range(3):
+        for i in range(n_pr):
             o_ref[:, i, :] = inv_prime(
                 f_ref[:, i, :].astype(I32), i, wi_ref, vi_ref, gi_ref,
                 gis_ref, ctxs[i], cd, rd, tm, big_c, big_r, n, ld,
@@ -469,36 +470,36 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
                 pl.BlockSpec(tables.g.shape, lambda i: (_Z, _Z, _Z)),
                 pl.BlockSpec(tables.gs.shape, lambda i: (_Z, _Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
-            out_shape=jax.ShapeDtypeStruct((mt, 3, n), U32),
+            out_specs=pl.BlockSpec((tm, n_pr, n), lambda i: (i, _Z, _Z)),
+            out_shape=jax.ShapeDtypeStruct((mt, n_pr, n), U32),
             interpret=interpret,
         )(xf, tables.v, tables.wr, tables.g, tables.gs)
         if pad:
             out = out[:m]
-        return out.reshape(*batch, 3, n)
+        return out.reshape(*batch, n_pr, n)
 
     def inverse(f: jax.Array) -> jax.Array:
         batch = f.shape[:-2]
         m = int(np.prod(batch)) if batch else 1
-        ff = f.reshape(m, 3, n)
+        ff = f.reshape(m, n_pr, n)
         ff, pad = _pad(ff, m)
         mt = ff.shape[0]
         out = pl.pallas_call(
             inv_kernel,
             grid=(mt // tm,),
             in_specs=[
-                pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
+                pl.BlockSpec((tm, n_pr, n), lambda i: (i, _Z, _Z)),
                 pl.BlockSpec(tables.wi.shape, lambda i: (_Z, _Z, _Z)),
                 pl.BlockSpec(tables.vi.shape, lambda i: (_Z, _Z, _Z)),
                 pl.BlockSpec(tables.gi.shape, lambda i: (_Z, _Z, _Z)),
                 pl.BlockSpec(tables.gis.shape, lambda i: (_Z, _Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((tm, 3, n), lambda i: (i, _Z, _Z)),
-            out_shape=jax.ShapeDtypeStruct((mt, 3, n), U32),
+            out_specs=pl.BlockSpec((tm, n_pr, n), lambda i: (i, _Z, _Z)),
+            out_shape=jax.ShapeDtypeStruct((mt, n_pr, n), U32),
             interpret=interpret,
         )(ff, tables.wi, tables.vi, tables.gi, tables.gis)
         if pad:
             out = out[:m]
-        return out.reshape(*batch, 3, n)
+        return out.reshape(*batch, n_pr, n)
 
     return forward, inverse
