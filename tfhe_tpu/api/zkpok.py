@@ -24,30 +24,42 @@ the list (tfhe_tpu/api/compact_pke.py construction):
 with r the binary public-key combination vector, m the plaintext block
 values (< message_modulus), and e the TUniform(b) encryption noise.
 
-Protocol (R = 128 repetitions):
-  witness  w = (r, m, e + 2^b)        -- shifted so every entry is >= 0
+Protocol (R = 8 repetitions x 16-bit challenges):
+  witness  w = (r, m, limbs of e + 2^b)  -- noise shifted nonnegative,
+           then split into E base-2^22 limbs so every per-limb bound
+           B_e = 2^(22 + CHAL_BITS + STAT_LOG) fits u64 even at the
+           production TUniform(42) noise (one limb when b is small)
   masks    y_j ~ U[0, B_j)            -- per-component bound B_j
   commit   t_i = A . y_i              -- A is the linear map above
-  chall    c = H(tag, crs, pk, ct, auxData, t_1..t_R)  in {0,1}^R
-  resp     z_i = y_i + c_i * w        -- over the integers (< 2^63, no wrap)
-  reject+retry unless every z in [w_max, B)  (Lyubashevsky-style aborts;
-           the abort probability is w_max/B per coefficient, INDEPENDENT
-           of the witness value, and accepted z are uniform on [w_max, B))
-  proof    = (c, z_1..z_R); verifier recomputes t_i = A.z_i - c_i*s and
-           checks the hash and the bounds  (s = (ct_mask, ct_body + 2^b)).
+  chall    c = H(tag, crs, pk, ct, auxData, t_1..t_R), R 16-bit values
+  resp     z_i = y_i + c_i * w        -- over the integers (< 2^55, no wrap)
+  reject+retry unless every z in [M0, B), M0 = c_max * w_max
+           (Lyubashevsky-style aborts; the abort probability is M0/B
+           per coefficient, INDEPENDENT of the witness value, and
+           accepted z are uniform on [M0, B))
+  proof    = (c, z_1..z_R) with every z column BYTE-PACKED to its bound
+           width (5/5/7 bytes at production parameters); the verifier
+           recomputes t_i = A.z_i - c_i*s and checks the hash and the
+           bounds  (s = (ct_mask, ct_body + 2^b)).
+
+Size: R * L * (M*5 + N*5 + N*7) bytes ~ 278 KB at production parameters
+(N = M = 2048, L = 1) -- 22x smaller than the round-4 binary-challenge
+version (128 reps x 8-byte words ~ 6.3 MB). Verification cost drops by
+the same 16x repetition factor.
 
 Security statement (documented honestly -- see DELTA below):
 - Completeness: exact (restart on the rare abort).
-- Soundness 2^-128: binary challenges give special soundness; rewinding
-  two accepting transcripts differing at repetition i extracts
-  w' = z_i - z'_i with A.w' = s (mod 2^64) EXACTLY, and RELAXED bounds
-  |r'| < B_r, |m'| < B_m, |e'| < B_e (the standard "slack" of
-  lattice Sigma-protocols). Producing such a short preimage for a
-  ciphertext you did not encrypt yourself is an inhomogeneous-SIS-style
-  problem over Z_2^64 at norm B_e << q; plaintext extraction therefore
-  holds computationally.
+- Soundness 2^-128: the challenge vector lives in (2^16)^8; a prover
+  answering two transcripts that differ at repetition i yields
+  A.(z_i - z'_i) = (c_i - c'_i).s (mod 2^64) with short z-differences --
+  the standard RELAXED extraction of lattice Sigma-protocols, now with a
+  relaxation factor |c_i - c'_i| < 2^16 on top of the rejection-window
+  slack (binary challenges had factor exactly 1). Producing such a short
+  relaxed preimage for a ciphertext you did not encrypt yourself is an
+  inhomogeneous-SIS-style problem over Z_2^64 at norm B_e << q;
+  plaintext knowledge therefore holds computationally.
 - Zero-knowledge: perfect HVZK -- accepted responses are uniform on
-  [w_max, B) independent of the witness, commitments are determined by
+  [M0, B) independent of the witness, commitments are determined by
   (z, c, s); the simulator samples z first. Non-interactive via
   Fiat-Shamir in the random-oracle model (keccak256), with the CRS hash,
   public-key digest, ciphertext and auxData all bound into the challenge.
@@ -55,8 +67,9 @@ Security statement (documented honestly -- see DELTA below):
 DELTA vs the reference: tfhe-rs' CPKE proof (pke_v2) is pairing-based and
 EXACT (no slack) with constant-size proofs; this proof is transparent
 (no trusted setup -- the "CRS" here pins parameters/bounds and a domain
-separator), has slack factor 2^STAT_LOG on the extracted norms, and is
-~3 MB at production parameters. The slack means range soundness is
+separator), has slack factor 2^(STAT_LOG + CHAL_BITS) on the extracted
+norms, and is ~278 KB at production parameters. The slack means range
+soundness is
 "m < B_m" rather than "m < message_modulus": a dishonest prover can
 encode an over-range block up to the slack bound. Downstream this is
 equivalent to submitting a noisy/garbage input the prover KNOWS -- the
@@ -76,9 +89,11 @@ from tfhe_tpu.api.compact_pke import CompactCiphertextList, PkeParams
 from tfhe_tpu.params import ShortintParams
 from tfhe_tpu.utils.keccak import keccak256
 
-_TAG = b"tfhe_tpu/zkpok/cpke/v1"
-REPS = 128  # binary challenges -> 2^-128 soundness error
+_TAG = b"tfhe_tpu/zkpok/cpke/v2"
+REPS = 8  # x 16-bit challenges -> 2^-128 Fiat-Shamir error
+CHAL_BITS = 16  # challenge space per repetition
 STAT_LOG = 20  # rejection-window slack log2 (abort ~2^-20 per coefficient)
+E_LIMB_BITS = 22  # noise limb width: 22+1+16+20 = 59 < 63, no u64 wrap
 _MAX_ATTEMPTS = 64
 
 
@@ -102,9 +117,12 @@ class CompactPkeCrs:
     delta: int
     noise_bound_log2: int  # TUniform b of the PKE noise
     reps: int
+    chal_bits: int  # challenge space log2 per repetition
     b_r_log2: int  # mask bound for the binary r components
     b_m_log2: int  # mask bound for the message components
-    b_e_log2: int  # mask bound for the shifted-noise components
+    e_limb_bits: int  # shifted noise splits into base-2^this limbs
+    e_limbs: int  # number of noise limbs E (1 when the bound is small)
+    b_e_log2: int  # mask bound for each shifted-noise LIMB
 
     @classmethod
     def from_params(
@@ -116,6 +134,8 @@ class CompactPkeCrs:
         if pke.noise.kind != "tuniform":
             raise ValueError("CPKE proof requires TUniform PKE noise")
         b = pke.noise.bound_log2
+        mm_bits = max(int(compute.message_modulus).bit_length(), 1)
+        limb = min(b + 1, E_LIMB_BITS)
         return cls(
             pke_params_name=pke.name,
             max_num_bits=max_num_bits,
@@ -123,10 +143,14 @@ class CompactPkeCrs:
             delta=int(compute.delta),
             noise_bound_log2=b,
             reps=REPS,
-            b_r_log2=STAT_LOG,  # w_max = 1
-            b_m_log2=STAT_LOG + max(int(compute.message_modulus).bit_length(), 1),
-            # w_max = 2^(b+1); cap so z stays < 2^63 (no wrap in y + c*w)
-            b_e_log2=min(b + 1 + STAT_LOG, 62),
+            chal_bits=CHAL_BITS,
+            # every bound carries the challenge slack: z = y + c*w with
+            # c < 2^chal_bits, so B >= 2^chal_bits * w_max * 2^STAT_LOG
+            b_r_log2=CHAL_BITS + STAT_LOG,  # w_max = 1
+            b_m_log2=CHAL_BITS + STAT_LOG + mm_bits,
+            e_limb_bits=limb,
+            e_limbs=-(-(b + 1) // limb),  # ceil: covers e' <= 2^(b+1)
+            b_e_log2=limb + 1 + CHAL_BITS + STAT_LOG,
         )
 
     @property
@@ -135,28 +159,65 @@ class CompactPkeCrs:
         return keccak256(_TAG + payload)
 
 
+def _pack_u64(a: np.ndarray, nbytes: int) -> bytes:
+    """Little-endian byte-pack: keep only the low `nbytes` bytes of each
+    u64 (exact when every value < 2^(8*nbytes))."""
+    le = np.ascontiguousarray(a.astype("<u8")).view(np.uint8)
+    return le.reshape(-1, 8)[:, :nbytes].tobytes()
+
+
+def _unpack_u64(data: bytes, shape: tuple, nbytes: int) -> np.ndarray:
+    n = int(np.prod(shape))
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size != n * nbytes:
+        raise ZkProofError("packed array size mismatch")
+    full = np.zeros((n, 8), dtype=np.uint8)
+    full[:, :nbytes] = raw.reshape(n, nbytes)
+    return full.view("<u8").reshape(shape).astype(np.uint64)
+
+
+def _pack_widths(crs: "CompactPkeCrs") -> tuple[int, int, int]:
+    """(r, m, e) packed bytes per response entry, from the CRS bounds."""
+    return (
+        (crs.b_r_log2 + 7) // 8,
+        (crs.b_m_log2 + 7) // 8,
+        (crs.b_e_log2 + 7) // 8,
+    )
+
+
 @dataclasses.dataclass
 class CompactPkeProof:
-    """(c, z) transcript; commitments are recomputed by the verifier."""
+    """(c, z) transcript; commitments are recomputed by the verifier.
+    Serialized responses are byte-packed to their CRS bound widths
+    (5/5/7 bytes per entry at production parameters vs 8 raw)."""
 
-    challenge: bytes  # reps/8 bytes of challenge bits
+    challenge: bytes  # reps * chal_bits/8 bytes (big-endian u16 each)
     z_r: np.ndarray  # (reps, L, M) u64
     z_m: np.ndarray  # (reps, L, N) u64
-    z_e: np.ndarray  # (reps, L, N) u64
+    z_e: np.ndarray  # (reps, L, E, N) u64 noise limbs
 
     def to_bytes(self) -> bytes:
+        widths = [
+            min(8, max(1, (int(z.max(initial=0)).bit_length() + 7) // 8))
+            for z in (self.z_r, self.z_m, self.z_e)
+        ]
         header = json.dumps(
             {
                 "c": self.challenge.hex(),
-                "shapes": [list(self.z_r.shape), list(self.z_m.shape), list(self.z_e.shape)],
+                "shapes": [
+                    list(self.z_r.shape),
+                    list(self.z_m.shape),
+                    list(self.z_e.shape),
+                ],
+                "widths": widths,
             }
         ).encode()
         return (
             len(header).to_bytes(4, "big")
             + header
-            + self.z_r.tobytes()
-            + self.z_m.tobytes()
-            + self.z_e.tobytes()
+            + _pack_u64(self.z_r, widths[0])
+            + _pack_u64(self.z_m, widths[1])
+            + _pack_u64(self.z_e, widths[2])
         )
 
     @classmethod
@@ -164,13 +225,14 @@ class CompactPkeProof:
         hlen = int.from_bytes(data[:4], "big")
         header = json.loads(data[4 : 4 + hlen])
         shapes = [tuple(s) for s in header["shapes"]]
+        widths = [int(w) for w in header.get("widths", [8, 8, 8])]
+        if len(widths) != 3 or any(not 1 <= w <= 8 for w in widths):
+            raise ZkProofError("malformed pack widths")
         off = 4 + hlen
         arrays = []
-        for shape in shapes:
-            n = int(np.prod(shape)) * 8
-            arrays.append(
-                np.frombuffer(data[off : off + n], dtype=np.uint64).reshape(shape)
-            )
+        for shape, w in zip(shapes, widths):
+            n = int(np.prod(shape)) * w
+            arrays.append(_unpack_u64(data[off : off + n], shape, w))
             off += n
         if off != len(data):
             raise ZkProofError("trailing bytes in proof")
@@ -227,10 +289,16 @@ def _apply_map(
     ve: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
     """A.(vr, vm, ve) for a stack of vectors: vr (..., M) -> mask
-    (..., k*N) and body (..., N) images, all wrapping mod 2^64."""
+    (..., k*N) and body (..., N) images, all wrapping mod 2^64.
+    ve: (..., E, N) noise limbs, weighted by 2^(e_limb_bits * j)."""
     with np.errstate(over="ignore"):
         t_mask = _wrap_matmul_u64(vr, pk_mask)
-        t_body = _wrap_matmul_u64(vr, pk_body) + np.uint64(crs.delta) * vm + ve
+        e_total = np.zeros(ve.shape[:-2] + ve.shape[-1:], dtype=np.uint64)
+        for j in range(crs.e_limbs):
+            e_total += ve[..., j, :] << np.uint64(crs.e_limb_bits * j)
+        t_body = (
+            _wrap_matmul_u64(vr, pk_body) + np.uint64(crs.delta) * vm + e_total
+        )
     return t_mask, t_body
 
 
@@ -266,7 +334,7 @@ def _transcript_hash(
         + keccak256(np.ascontiguousarray(t_mask).tobytes())
         + keccak256(np.ascontiguousarray(t_body).tobytes())
     )
-    return h[: REPS // 8]
+    return h[: REPS * CHAL_BITS // 8]
 
 
 _PK_DIGEST_CACHE: dict = {}
@@ -291,12 +359,20 @@ def pk_digest(pke_pk) -> bytes:
 
 
 def _bounds(crs: CompactPkeCrs) -> list[tuple[int, int]]:
-    """[(w_max, B)] for (r, m, e')."""
+    """[(M0, B)] for (r, m, e-limb): M0 = c_max * w_max is the rejection
+    window floor (z = y + c*w <= M0 + y), B the mask bound."""
+    c_max = (1 << crs.chal_bits) - 1
     return [
-        (1, 1 << crs.b_r_log2),
-        (crs.message_modulus - 1, 1 << crs.b_m_log2),
-        (1 << (crs.noise_bound_log2 + 1), 1 << crs.b_e_log2),
+        (c_max * 1, 1 << crs.b_r_log2),
+        (c_max * (crs.message_modulus - 1), 1 << crs.b_m_log2),
+        # top limb can equal 2^e_limb_bits when e' == 2^(b+1) exactly
+        (c_max * (1 << crs.e_limb_bits), 1 << crs.b_e_log2),
     ]
+
+
+def _challenges(c_bytes: bytes) -> np.ndarray:
+    """Challenge bytes -> (REPS,) u64 values in [0, 2^CHAL_BITS)."""
+    return np.frombuffer(c_bytes, dtype=">u2").astype(np.uint64)
 
 
 def prove(
@@ -315,7 +391,8 @@ def prove(
     (< message_modulus -- the prover REFUSES out-of-range plaintexts);
     e: (L, N) TUniform noise as sampled (u64 two's complement). aux_data
     binds contract || user || acl || chainId exactly as the reference's
-    auxData (encrypt.ts:174-184)."""
+    auxData (encrypt.ts:174-184). The shifted noise is proven as
+    crs.e_limbs base-2^e_limb_bits limbs (see module docstring)."""
     pk_mask, pk_body = _pk_planes(pke_pk)
     n = pk_body.shape[1]
     w_r = np.asarray(r, dtype=np.uint64)
@@ -334,6 +411,15 @@ def prove(
         w_e = np.asarray(e, dtype=np.uint64) + shift  # e' in [0, 2^(b+1)]
     if np.any(w_e > np.uint64(1 << (crs.noise_bound_log2 + 1))):
         raise ValueError("noise outside the TUniform bound")
+    # base-2^e_limb_bits decomposition: (L, E, N), sum_j limb_j << (lb*j)
+    lb = np.uint64(crs.e_limb_bits)
+    lmask = np.uint64((1 << crs.e_limb_bits) - 1)
+    w_e_limbs = np.stack(
+        [(w_e >> (lb * np.uint64(j))) & lmask if j < crs.e_limbs - 1
+         else (w_e >> (lb * np.uint64(j)))  # top limb keeps the carry
+         for j in range(crs.e_limbs)],
+        axis=-2,
+    )  # (L, E, N)
     digest = pk_digest(pke_pk)
     bounds = _bounds(crs)
     rng = np.random.default_rng(
@@ -342,18 +428,19 @@ def prove(
     for _ in range(_MAX_ATTEMPTS):
         y_r = rng.integers(0, bounds[0][1], size=(REPS, ell, w_r.shape[1]), dtype=np.uint64)
         y_m = rng.integers(0, bounds[1][1], size=(REPS, ell, n), dtype=np.uint64)
-        y_e = rng.integers(0, bounds[2][1], size=(REPS, ell, n), dtype=np.uint64)
+        y_e = rng.integers(
+            0, bounds[2][1], size=(REPS, ell, crs.e_limbs, n), dtype=np.uint64
+        )
         t_mask, t_body = _apply_map(crs, pk_mask, pk_body, y_r, y_m, y_e)
         c_bytes = _transcript_hash(crs, digest, lst, aux_data, t_mask, t_body)
-        c = np.unpackbits(np.frombuffer(c_bytes, dtype=np.uint8))[:REPS]
-        c = c.astype(np.uint64)[:, None, None]
-        # z = y + c*w over the integers: every term < 2^63, no wrap
+        c = _challenges(c_bytes)[:, None, None]
+        # z = y + c*w over the integers: every term < 2^55, no wrap
         z_r = y_r + c * w_r[None]
         z_m = y_m + c * w_m[None]
-        z_e = y_e + c * w_e[None]
+        z_e = y_e + c[..., None] * w_e_limbs[None]
         ok = True
-        for z, (w_max, b) in zip((z_r, z_m, z_e), bounds):
-            if np.any(z < np.uint64(w_max)) or np.any(z >= np.uint64(b)):
+        for z, (m0, b) in zip((z_r, z_m, z_e), bounds):
+            if np.any(z < np.uint64(m0)) or np.any(z >= np.uint64(b)):
                 ok = False
                 break
         if ok:
@@ -380,10 +467,10 @@ def verify(
     if (
         proof.z_r.shape != (REPS, ell, m_rows)
         or proof.z_m.shape != (REPS, ell, n)
-        or proof.z_e.shape != (REPS, ell, n)
+        or proof.z_e.shape != (REPS, ell, crs.e_limbs, n)
     ):
         raise ZkProofError("malformed proof shapes")
-    if len(proof.challenge) != REPS // 8:
+    if len(proof.challenge) != REPS * CHAL_BITS // 8:
         raise ZkProofError("malformed challenge")
     if lst.n_values > ell * n or lst.n_values <= 0:
         raise ZkProofError("ciphertext list value count out of range")
@@ -393,8 +480,7 @@ def verify(
         if np.any(z >= np.uint64(b)):
             raise ZkProofError("response out of bounds")
     s_mask, s_body = _statement(crs, lst)
-    c = np.unpackbits(np.frombuffer(proof.challenge, dtype=np.uint8))[:REPS]
-    c = c.astype(np.uint64)[:, None, None]
+    c = _challenges(proof.challenge)[:, None, None]
     z_mask, z_body = _apply_map(
         crs, pk_mask, pk_body, proof.z_r, proof.z_m, proof.z_e
     )

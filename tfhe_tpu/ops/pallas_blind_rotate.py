@@ -167,6 +167,7 @@ def make_pallas_blind_rotate(
     cd, rd = tables.c_dim, tables.r_dim
     ctxs = [ntt.ctx for ntt in engine.ntts]
     big_c, big_r = cd > 64, rd > 64
+    na = tables.na
     ld = _limb_dtype()
     packed = packed_kernels_enabled()
     assert 1 <= base_log <= 31
@@ -194,12 +195,12 @@ def make_pallas_blind_rotate(
             elif packed:
                 fd = fwd_prime_packed(
                     rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
-                    cd, rd, tm * 2, tables.vp3_nk, tables.wrp_nk, n,
+                    cd, rd, tm * 2, tables.vp3_nk, tables.wrp_nk, n, na,
                 )
             else:
                 fd = fwd_prime(
                     rhs1, i, v_tabs[0], v_tabs[1], v_tabs[2], v_tabs[3], ctx,
-                    cd, rd, tm * 2, 3, big_c, big_r, n,
+                    cd, rd, tm * 2, 3, big_c, big_r, n, na,
                 )  # (tm*2, N) u32 in [0, 2p)
             fdm = fd.reshape(tm, 2, n)
             outs = []
@@ -223,16 +224,17 @@ def make_pallas_blind_rotate(
             if packed:
                 res.append(
                     inv_prime_packed(
-                        prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                        prodm, i, i_tabs[0], i_tabs[1], i_tabs[2],
                         i_tabs[3], ctx, cd, rd, tm * 2, tables.wip_nk,
-                        tables.vip_nk, n, ld,
+                        tables.vip_nk, n, ld, na,
                     )
                 )
             else:
                 res.append(
                     inv_prime(
-                        prodm.astype(I32), i, i_tabs[0], i_tabs[1], i_tabs[2],
+                        prodm, i, i_tabs[0], i_tabs[1], i_tabs[2],
                         i_tabs[3], ctx, cd, rd, tm * 2, big_c, big_r, n, ld,
+                        na,
                     )
                 )
         # Garner: residues -> u64 pair, centered, << shift

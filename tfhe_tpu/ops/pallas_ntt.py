@@ -70,15 +70,16 @@ def packed_kernels_enabled() -> bool:
     return os.environ.get("TFHE_TPU_PACKED", "1") == "1"
 
 
-def _stack_digits(m: np.ndarray, p: int) -> np.ndarray:
-    """(D1, D2) matrix mod p -> (4*D1, D2) stacked balanced digit planes
-    (row a*D1 + i is digit a of row i)."""
-    d = _balanced_digits_host(m, p)  # (D1, D2, 4)
-    return np.concatenate([d[..., a] for a in range(4)], axis=0)
+def _stack_digits(m: np.ndarray, p: int, na: int = 4) -> np.ndarray:
+    """(D1, D2) matrix mod p -> (na*D1, D2) stacked balanced digit planes
+    (row a*D1 + i is digit a of row i). na=3 needs p <= 16580352
+    (centered residues fit three planes, folded_ntt.FoldedNtt.na)."""
+    d = _balanced_digits_host(m, p, na)  # (D1, D2, na)
+    return np.concatenate([d[..., a] for a in range(na)], axis=0)
 
 
 def _stack_digits_packed(m: np.ndarray, p: int, nb_rhs: int,
-                         split3: bool) -> tuple[np.ndarray, int]:
+                         split3: bool, na: int = 4) -> tuple[np.ndarray, int]:
     """(D1, D2) table mod p -> block-Toeplitz packed lhs
     (nk*D1, nb_rhs*D2), plus nk.
 
@@ -91,12 +92,14 @@ def _stack_digits_packed(m: np.ndarray, p: int, nb_rhs: int,
     MAC count grows ~1.75x but runs at ~4x better MXU occupancy, and
     every s_k lands as one contiguous row-block for the recombiner.
 
-    With split3 (contraction dims > 64), row-block k=3 is emitted twice
-    (a in {0,1}, then {2,3}) so the recombination's s<<8 stays inside
-    i32 -- same overflow guard as _recombine's big-K path."""
-    d = _balanced_digits_host(m, p)  # (D1, D2, 4)
+    With split3 (contraction dims > 64, na=4 only), row-block k=3 is
+    emitted twice (a in {0,1}, then {2,3}) so the recombination's s<<8
+    stays inside i32 -- same overflow guard as _recombine's big-K path.
+    na=3 planes never need the split (max 3 blocks per class)."""
+    d = _balanced_digits_host(m, p, na)  # (D1, D2, na)
     d1, d2 = m.shape
-    nk = 4 + nb_rhs - 1
+    nk = na + nb_rhs - 1
+    split3 = split3 and na == 4
     keys: list[tuple[int, tuple | None]] = []
     for k in range(nk):
         if split3 and k == 3:
@@ -108,7 +111,7 @@ def _stack_digits_packed(m: np.ndarray, p: int, nb_rhs: int,
     for ki, (k, asub) in enumerate(keys):
         for b in range(nb_rhs):
             a = k - b
-            if 0 <= a <= 3 and (asub is None or a in asub):
+            if 0 <= a <= na - 1 and (asub is None or a in asub):
                 out[ki * d1:(ki + 1) * d1, b * d2:(b + 1) * d2] = d[..., a]
     return out, len(keys)
 
@@ -122,6 +125,12 @@ class PallasNttTables:
         ntt0 = engine.ntts[0]
         r_dim, c_dim = ntt0.r_dim, ntt0.c_dim
         self.n, self.r_dim, self.c_dim = n, r_dim, c_dim
+        # digit planes for table entries AND mid-stage values: 3 when
+        # centered residues fit three balanced digits (2^24-class primes,
+        # folded_ntt.FoldedNtt.na), else 4. Uniform across the engine's
+        # primes (asserted in FoldedCrtEngine.__init__).
+        na = ntt0.na
+        self.na = na
         vs, wrs, gs, gss = [], [], [], []
         wis, vis, gis, giss = [], [], [], []
         vps, wrps, wips, vips = [], [], [], []
@@ -164,14 +173,17 @@ class PallasNttTables:
                 fold = pow(psi_inv, r_dim * c, p)
                 for t in range(c_dim):
                     vi[c, t] = pow(om_c_inv, c * t, p) * fold % p
-            vs.append(_stack_digits(v, p))
-            wrs.append(_stack_digits(wr, p))
-            wis.append(_stack_digits(wi, p))
-            vis.append(_stack_digits(vi, p))
-            vp, self.vp3_nk = _stack_digits_packed(v, p, 3, c_dim > 64)
-            wp, self.wrp_nk = _stack_digits_packed(wr, p, 4, r_dim > 64)
-            wip_, self.wip_nk = _stack_digits_packed(wi, p, 4, r_dim > 64)
-            vip_, self.vip_nk = _stack_digits_packed(vi, p, 4, c_dim > 64)
+            vs.append(_stack_digits(v, p, na))
+            wrs.append(_stack_digits(wr, p, na))
+            wis.append(_stack_digits(wi, p, na))
+            vis.append(_stack_digits(vi, p, na))
+            # packed rhs plane counts: forward stage 1 consumes 3-plane
+            # gadget-digit rhs always; every other stage consumes
+            # na-plane mid-value/input rhs
+            vp, self.vp3_nk = _stack_digits_packed(v, p, 3, c_dim > 64, na)
+            wp, self.wrp_nk = _stack_digits_packed(wr, p, na, r_dim > 64, na)
+            wip_, self.wip_nk = _stack_digits_packed(wi, p, na, r_dim > 64, na)
+            vip_, self.vip_nk = _stack_digits_packed(vi, p, na, c_dim > 64, na)
             vps.append(vp)
             wrps.append(wp)
             wips.append(wip_)
@@ -217,13 +229,27 @@ def _split_list(x, nplanes=4):
     return ds
 
 
-def _recombine(blk, ctx, big, nb=4):
+def _center_split(y_u32, ctx, na):
+    """u32 residues in [0, 2p) -> list of na balanced digit planes (i32).
+    na=3 centers to [-p/2, p/2] first (three planes hold |x| <= 2^23,
+    needs p <= 16580352 -- the 2^24-class prime sets); na=4 splits the
+    raw value (< 2^31). ~4 extra VPU ops/pt for na=3, repaid many times
+    over by the dropped 4th table plane in every stage matmul."""
+    if na == 4:
+        return _split_list(y_u32.astype(I32), 4)
+    c = _condsub(y_u32, ctx.pu).astype(I32)
+    half = np.int32(ctx.p // 2)
+    c = c - jnp.where(c > half, np.int32(ctx.p), np.int32(0))
+    return _split_list(c, 3)
+
+
+def _recombine(blk, ctx, big, nb=4, na=4):
     """blk(a, b) -> 2D i32 block slices; returns their weighted mod-p sum
     (same math as FoldedNtt._recombine, incl. the big-K S_3 split for
-    nb=4; nb=3 plane inputs pair-combine safely at any K <= 128)."""
-    split3 = big and nb == 4
-    s = [None] * (3 + nb)
-    for a in range(4):
+    na=nb=4; 3-plane sides pair-combine safely at any K <= 128)."""
+    split3 = big and nb == 4 and na == 4
+    s = [None] * (na + nb - 1)
+    for a in range(na):
         for bb in range(nb):
             if split3 and a + bb == 3:
                 continue
@@ -258,8 +284,8 @@ def _recombine_packed(out, ctx, d, nk):
     row-blocks are the cross-plane sums s_k already accumulated by the
     block-Toeplitz matmul. Returns (d, X) u32 in [0, 2p).
 
-    nk = 6 (nb=3), 7 (nb=4) or 8 (nb=4 with k=3 split in two blocks:
-    rows 3 and 4 hold the a-{0,1} and a-{2,3} halves)."""
+    nk = 5 (na=nb=3), 6 (na=4,nb=3), 7 (na=nb=4) or 8 (na=nb=4 with k=3
+    split in two blocks: rows 3 and 4 hold the a-{0,1}/{2,3} halves)."""
     blk = lambda j: out[j * d:(j + 1) * d, :]
     if nk == 8:
         s = [blk(0), blk(1), blk(2), blk(3), blk(5), blk(6), blk(7)]
@@ -307,22 +333,23 @@ def _dot_nt(lhs, rhs):
 
 
 def fwd_prime(x_planes_rhs, i, v_tab, wr_tab, g_tab, gs_tab, ctx,
-              cd, rd, tm, nb, big_c, big_r, n):
+              cd, rd, tm, nb, big_c, big_r, n, na=4):
     """One prime's forward transform on kernel VALUES.
 
     x_planes_rhs: (C, nb*TM*R) limb-dtype stage-1 rhs (shared across
-    primes). Returns (TM, N) u32 in [0, 2p), layout h = t*R + s."""
-    out1 = _dot(v_tab[i], x_planes_rhs)  # (4a*C, nb*TM*R) f32
-    b1 = out1.reshape(4, cd, nb, tm * rd).astype(I32)
-    y = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_c, nb)
+    primes). Returns (TM, N) u32 in [0, 2p), layout h = t*R + s.
+    na = table/mid-value digit planes (3 for the 2^24-class primes)."""
+    out1 = _dot(v_tab[i], x_planes_rhs)  # (na_a*C, nb*TM*R) f32
+    b1 = out1.reshape(na, cd, nb, tm * rd).astype(I32)
+    y = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_c, nb, na)
     ym = y.reshape(cd, tm, rd)
     yt = shoup_mulmod(ym, g_tab[i][:, None, :], gs_tab[i][:, None, :], ctx.pu)
-    ds2 = _split_list(yt.astype(I32))
-    rhs2 = jnp.stack(ds2, axis=0).reshape(4 * cd * tm, rd)
+    ds2 = _center_split(yt, ctx, na)
+    rhs2 = jnp.stack(ds2, axis=0).reshape(na * cd * tm, rd)
     rhs2 = rhs2.astype(wr_tab.dtype)
-    out2 = _dot_nt(wr_tab[i], rhs2)  # (4a*R_s, 4b*C*TM)
-    b2 = out2.reshape(4, rd, 4, cd * tm).astype(I32)
-    z = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_r)
+    out2 = _dot_nt(wr_tab[i], rhs2)  # (na_a*R_s, na_b*C*TM)
+    b2 = out2.reshape(na, rd, na, cd * tm).astype(I32)
+    z = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_r, na, na)
     zt = z.T.reshape(cd, tm, rd)  # (C_t, TM, R_s)
     return jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
 
@@ -346,7 +373,7 @@ def make_fwd_rhs_packed(x_i32, cd, rd, tm, nb, ld):
 
 
 def fwd_prime_packed(x_rhs_p, i, vp_tab, wrp_tab, g_tab, gs_tab, ctx,
-                     cd, rd, tm, nk1, nk2, n):
+                     cd, rd, tm, nk1, nk2, n, na=4):
     """Block-Toeplitz forward transform for one prime.
 
     x_rhs_p: (3C, TM*R) packed stage-1 rhs (shared across primes).
@@ -356,8 +383,8 @@ def fwd_prime_packed(x_rhs_p, i, vp_tab, wrp_tab, g_tab, gs_tab, ctx,
     y = _recombine_packed(out1.astype(I32), ctx, cd, nk1)  # (C, TM*R)
     ym = y.reshape(cd, tm, rd)
     yt = shoup_mulmod(ym, g_tab[i][:, None, :], gs_tab[i][:, None, :], ctx.pu)
-    ds2 = _split_list(yt.astype(I32))  # 4 x (C, TM, R)
-    rhs2 = jnp.stack(ds2, axis=-2).reshape(cd * tm, 4 * rd)
+    ds2 = _center_split(yt, ctx, na)  # na x (C, TM, R)
+    rhs2 = jnp.stack(ds2, axis=-2).reshape(cd * tm, na * rd)
     rhs2 = rhs2.astype(wrp_tab.dtype)
     out2 = _dot_nt(wrp_tab[i], rhs2)  # (nk2*R, C*TM)
     z = _recombine_packed(out2.astype(I32), ctx, rd, nk2)  # (R, C*TM)
@@ -365,20 +392,21 @@ def fwd_prime_packed(x_rhs_p, i, vp_tab, wrp_tab, g_tab, gs_tab, ctx,
     return jnp.transpose(zt, (1, 0, 2)).reshape(tm, n)
 
 
-def inv_prime_packed(f_i32, i, wip_tab, vip_tab, gi_tab, gis_tab, ctx,
-                     cd, rd, tm, nk1, nk2, n, ld):
-    """Block-Toeplitz inverse for one prime: (TM, N) i32 (layout
-    h = t*R + s) -> (TM, N) u32 canonical residues, natural order."""
-    fm = f_i32.reshape(tm, cd, rd)
-    ds = _split_list(fm)  # 4 x (TM, C, R)
-    rhs1 = jnp.stack(ds, axis=-2).reshape(tm * cd, 4 * rd).astype(ld)
+def inv_prime_packed(f_u32, i, wip_tab, vip_tab, gi_tab, gis_tab, ctx,
+                     cd, rd, tm, nk1, nk2, n, ld, na=4):
+    """Block-Toeplitz inverse for one prime: (TM, N) u32 in [0, 2p)
+    (layout h = t*R + s) -> (TM, N) u32 canonical residues, natural
+    order."""
+    fm = f_u32.astype(U32).reshape(tm, cd, rd)
+    ds = _center_split(fm, ctx, na)  # na x (TM, C, R)
+    rhs1 = jnp.stack(ds, axis=-2).reshape(tm * cd, na * rd).astype(ld)
     out1 = _dot_nt(wip_tab[i], rhs1)  # (nk1*R, TM*C)
     u = _recombine_packed(out1.astype(I32), ctx, rd, nk1)  # (R, TM*C)
     um = u.T.reshape(tm, cd, rd)
     ut = shoup_mulmod(um, gi_tab[i][None, :, :], gis_tab[i][None, :, :], ctx.pu)
-    ds2 = _split_list(ut.astype(I32))  # 4 x (TM, C, R)
-    rhs2 = jnp.stack(ds2, axis=0)  # (4, TM, C, R)
-    rhs2 = jnp.transpose(rhs2, (0, 2, 1, 3)).reshape(4 * cd, tm * rd)
+    ds2 = _center_split(ut, ctx, na)  # na x (TM, C, R)
+    rhs2 = jnp.stack(ds2, axis=0)  # (na, TM, C, R)
+    rhs2 = jnp.transpose(rhs2, (0, 2, 1, 3)).reshape(na * cd, tm * rd)
     rhs2 = rhs2.astype(vip_tab.dtype)
     out2 = _dot(vip_tab[i], rhs2)  # (nk2*C, TM*R)
     a_res = _recombine_packed(out2.astype(I32), ctx, cd, nk2)
@@ -387,25 +415,26 @@ def inv_prime_packed(f_i32, i, wip_tab, vip_tab, gi_tab, gis_tab, ctx,
     return jnp.transpose(am, (1, 0, 2)).reshape(tm, n)
 
 
-def inv_prime(f_i32, i, wi_tab, vi_tab, gi_tab, gis_tab, ctx,
-              cd, rd, tm, big_c, big_r, n, ld):
-    """One prime's inverse on kernel VALUES: (TM, N) i32 (< 2^31, layout
-    h = t*R + s) -> (TM, N) u32 canonical residues, natural order."""
-    fm = f_i32.reshape(tm, cd, rd)  # (TM, C_t, R_s)
-    ds = _split_list(fm)
-    rhs1 = jnp.stack(ds, axis=0).reshape(4 * tm * cd, rd).astype(ld)
-    out1 = _dot_nt(wi_tab[i], rhs1)  # (4a*R_r, 4b*TM*C)
-    b1 = out1.reshape(4, rd, 4, tm * cd).astype(I32)
-    u = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_r)
+def inv_prime(f_u32, i, wi_tab, vi_tab, gi_tab, gis_tab, ctx,
+              cd, rd, tm, big_c, big_r, n, ld, na=4):
+    """One prime's inverse on kernel VALUES: (TM, N) u32 in [0, 2p)
+    (layout h = t*R + s) -> (TM, N) u32 canonical residues, natural
+    order."""
+    fm = f_u32.astype(U32).reshape(tm, cd, rd)  # (TM, C_t, R_s)
+    ds = _center_split(fm, ctx, na)
+    rhs1 = jnp.stack(ds, axis=0).reshape(na * tm * cd, rd).astype(ld)
+    out1 = _dot_nt(wi_tab[i], rhs1)  # (na_a*R_r, na_b*TM*C)
+    b1 = out1.reshape(na, rd, na, tm * cd).astype(I32)
+    u = _recombine(lambda a, b: b1[a, :, b, :], ctx, big_r, na, na)
     um = u.T.reshape(tm, cd, rd)
     ut = shoup_mulmod(um, gi_tab[i][None, :, :], gis_tab[i][None, :, :], ctx.pu)
-    ds2 = _split_list(ut.astype(I32))
-    rhs2 = jnp.stack(ds2, axis=0)  # (4b, TM, C, R)
-    rhs2 = jnp.transpose(rhs2, (2, 0, 1, 3)).reshape(cd, 4 * tm * rd)
+    ds2 = _center_split(ut, ctx, na)
+    rhs2 = jnp.stack(ds2, axis=0)  # (na_b, TM, C, R)
+    rhs2 = jnp.transpose(rhs2, (2, 0, 1, 3)).reshape(cd, na * tm * rd)
     rhs2 = rhs2.astype(vi_tab.dtype)
-    out2 = _dot(vi_tab[i], rhs2)  # (4a*C_c, 4b*TM*R)
-    b2 = out2.reshape(4, cd, 4, tm * rd).astype(I32)
-    a_res = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_c)
+    out2 = _dot(vi_tab[i], rhs2)  # (na_a*C_c, na_b*TM*R)
+    b2 = out2.reshape(na, cd, na, tm * rd).astype(I32)
+    a_res = _recombine(lambda a, b: b2[a, :, b, :], ctx, big_c, na, na)
     a_res = _condsub(a_res, ctx.pu)
     am = a_res.reshape(cd, tm, rd)
     return jnp.transpose(am, (1, 0, 2)).reshape(tm, n)
@@ -429,19 +458,21 @@ def make_pallas_ntt(engine: FoldedCrtEngine, tm: int | None = None, nb: int = 4)
         tm = max(16, 128 // cd)  # stage-2 block views need cd*tm % 128 == 0
     ld = _limb_dtype()
 
+    na = tables.na
+
     def fwd_kernel(x_ref, v_ref, wr_ref, g_ref, gs_ref, o_ref):
         rhs1 = make_fwd_rhs(x_ref[:], cd, rd, tm, nb, ld)
         for i in range(n_pr):
             o_ref[:, i, :] = fwd_prime(
                 rhs1, i, v_ref, wr_ref, g_ref, gs_ref, ctxs[i],
-                cd, rd, tm, nb, big_c, big_r, n,
+                cd, rd, tm, nb, big_c, big_r, n, na,
             )
 
     def inv_kernel(f_ref, wi_ref, vi_ref, gi_ref, gis_ref, o_ref):
         for i in range(n_pr):
             o_ref[:, i, :] = inv_prime(
-                f_ref[:, i, :].astype(I32), i, wi_ref, vi_ref, gi_ref,
-                gis_ref, ctxs[i], cd, rd, tm, big_c, big_r, n, ld,
+                f_ref[:, i, :], i, wi_ref, vi_ref, gi_ref,
+                gis_ref, ctxs[i], cd, rd, tm, big_c, big_r, n, ld, na,
             )
 
     interpret = jax.default_backend() != "tpu"

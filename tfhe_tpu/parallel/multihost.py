@@ -77,6 +77,45 @@ def make_host_mesh(n_model: int = 1, devices=None) -> Mesh:
     return Mesh(devs, ("host", "data", "model"))
 
 
+def make_cross_host_model_mesh(devices=None) -> Mesh:
+    """("data", "model") mesh with the MODEL axis spanning processes.
+
+    Device [i, h] is process h's i-th local device, so every model
+    replica group pairs one device from each process: the per-step psum
+    over "model" (KSK partial sums + GGSW residue reductions,
+    parallel.sharded) crosses the host boundary on every step. This is
+    the TP-over-DCN configuration VERDICT r4 demanded be measured: keys
+    too big for one host's HBM shard across hosts and the collective
+    rides DCN. Use when model parallelism must span machines; for
+    throughput scaling prefer make_host_mesh (batch over hosts, zero
+    per-step DCN)."""
+    if devices is None:
+        devices = jax.devices()
+    n_host = max(jax.process_count(), 1)
+    n_local = len(devices) // n_host
+    assert n_local * n_host == len(devices)
+    devs = np.array(devices).reshape(n_host, n_local).T  # (local, host)
+    return Mesh(devs, ("data", "model"))
+
+
+def global_put(mesh: Mesh, spec: P, x: Any) -> Any:
+    """Identical per-process host value -> global array with `spec`.
+    Every process must hold the same full array (deterministic seeded
+    keygen/encryption); each device then takes its slice locally, so
+    placement costs zero wire traffic."""
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def replicate_batch_global(mesh: Mesh, batch: Any) -> Any:
+    """Identical per-process batch -> global array sharded over "data"
+    (model-axis devices replicate rows). Every process must pass the
+    SAME full global batch (deterministic encryption), because with the
+    model axis spanning hosts each process's devices touch every row."""
+    return global_put(mesh, P("data"), batch)
+
+
 def replicate_global(mesh: Mesh, tree: Any) -> Any:
     """Per-process identical host values -> fully-replicated global arrays.
 
@@ -195,11 +234,15 @@ def collective_stats(compiled_text: str, mesh: Mesh) -> list[dict]:
     """Parse compiled HLO for collectives: payload bytes + whether any
     replica group crosses a host (process) boundary.
 
-    Device ids are grouped by host via the mesh's device->process map.
-    The per-step DCN traffic of the layout is the sum of bytes over
-    entries with crosses_host=True -- the dryrun asserts it is ZERO.
+    Replica-group entries are PARTITION ids -- indices into the
+    computation's device assignment, which for a jit-over-mesh program
+    is mesh.devices.flat order -- NOT raw device ids (the two coincide
+    only when the mesh happens to be process-major). The per-step DCN
+    traffic of the layout is the sum of bytes over entries with
+    crosses_host=True.
     """
-    dev_host = {d.id: d.process_index for d in mesh.devices.flat}
+    flat = list(mesh.devices.flat)
+    dev_host = {i: d.process_index for i, d in enumerate(flat)}
     out = []
     for line in compiled_text.splitlines():
         m = _COLLECTIVE_RE.search(line)

@@ -64,7 +64,15 @@ def cache_path(params, seed: int, multibit_group: int | None,
                cache_dir: str | None = None) -> str:
     d = cache_dir or DEFAULT_DIR
     g = _effective_group(params, multibit_group)
-    return os.path.join(d, f"{params.hash[:16]}_s{seed}_g{g}.tfhekeys")
+    # the NTT-domain key material depends on the engine's CRT prime set
+    # (DEFAULT_PRIMES is a process-level constant): a 4-prime process
+    # must never load 3-prime keys
+    from tfhe_tpu.ops.folded_ntt import DEFAULT_PRIMES
+
+    ptag = f"_p{len(DEFAULT_PRIMES)}" if len(DEFAULT_PRIMES) != 3 else ""
+    return os.path.join(
+        d, f"{params.hash[:16]}_s{seed}_g{g}{ptag}.tfhekeys"
+    )
 
 
 def save_keys(path: str, ck, sk) -> None:
