@@ -63,9 +63,9 @@ def main():
     def transfer(balance, amount):
         can_pay = ri.le(sk, amount, balance)
         zero = ri.trivial_radix(P, jnp.zeros(amount.batch_shape, dtype=jnp.uint64), bits)
-        moved = ri.select(sk, can_pay, amount, zero)
-        new_from = ri.sub(sk, balance, moved)
-        new_to = ri.add(sk, balance, moved)  # stand-in recipient balance
+        moved = ri.select(sk, can_pay, amount, zero)  # trivial-zero fast path
+        # one stacked carry chain for both balance updates
+        new_to, new_from = ri.add_sub(sk, balance, moved)
         return new_from, new_to
 
     t1 = time.time()

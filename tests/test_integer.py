@@ -167,3 +167,27 @@ def test_chained_ops(keys):
     b = _enc(ck, b_v, 8, seed=99)
     got = ri.mul(sk, ri.add(sk, a, b), ri.sub(sk, a, b))
     np.testing.assert_array_equal(_dec(ck, got), (a_v * a_v - b_v * b_v) % 256)
+
+
+def test_add_sub_shared_chain(keys):
+    """add_sub == (add, sub) with one stacked carry chain (the ERC20
+    balance-update pair)."""
+    ck, sk = keys
+    a_v = np.array([200, 0, 255, 77], dtype=np.uint64)
+    b_v = np.array([100, 1, 255, 200], dtype=np.uint64)
+    s, d = ri.add_sub(sk, _enc(ck, a_v, 8), _enc(ck, b_v, 8, seed=95))
+    np.testing.assert_array_equal(_dec(ck, s), (a_v + b_v) % 256)
+    np.testing.assert_array_equal(_dec(ck, d), (a_v - b_v) % 256)
+
+
+def test_select_trivial_zero_fast_path(keys):
+    """select(cond, a, trivial 0) gates through the single-PBS path."""
+    from tfhe_tpu.models import shortint as si2
+    ck, sk = keys
+    a_v = np.array([9, 250, 1, 0], dtype=np.uint64)
+    cond = si2.encrypt(ck, jnp.asarray([1, 0, 1, 0], dtype=U64), FheRng(96))
+    zero = ri.trivial_radix(P, jnp.zeros(4, dtype=U64), 8)
+    out = ri.select(sk, cond, _enc(ck, a_v, 8), zero)
+    np.testing.assert_array_equal(_dec(ck, out), [9, 0, 1, 0])
+    out2 = ri.select(sk, cond, zero, _enc(ck, a_v, 8))
+    np.testing.assert_array_equal(_dec(ck, out2), [0, 250, 0, 0])

@@ -105,8 +105,10 @@ def test_ebytes128_eq_ne_select(inst):
     assert got == int.from_bytes(v2, "big")
 
 
-@pytest.mark.slow
-def test_ebytes256_eq_ne_select(inst):
+def test_ebytes256_eq_ne(inst):
+    """ebytes256 eq/ne in the DEFAULT tier (VERDICT r4 item 8: every
+    type in api/types.py gets default-tier assertions; manual.ts runs
+    the ebytes256 cases unconditionally)."""
     import numpy as np
 
     rng = np.random.default_rng(37)
@@ -117,6 +119,17 @@ def test_ebytes256_eq_ne_select(inst):
     b = _enc(inst, "ebytes256", v2)
     assert inst._decrypt_handle(inst.fhe_op("eq", a, a2)) == 1
     assert inst._decrypt_handle(inst.fhe_op("ne", a, b)) == 1
+
+
+@pytest.mark.slow
+def test_ebytes256_select(inst):
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    v1 = rng.bytes(256)
+    v2 = rng.bytes(256)
+    a = _enc(inst, "ebytes256", v1)
+    b = _enc(inst, "ebytes256", v2)
     c = _enc(inst, "ebool", True)
     got = inst._decrypt_handle(inst.fhe_op("select", c, a, b))
     assert got == int.from_bytes(v1, "big")

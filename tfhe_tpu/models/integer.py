@@ -178,9 +178,27 @@ def trivial_radix(params: ShortintParams, values, nbits: int) -> RadixCiphertext
 # -- PBS plumbing ----------------------------------------------------------------
 
 
-def _pbs(sk: ServerKey, ct: jax.Array, lut: jax.Array) -> jax.Array:
-    """Raw batched PBS: ct (..., kN+1), lut broadcastable (..., k+1, N).
-    Dispatches on the key type (classic vs multi-bit), like si.apply_lut."""
+# Flat-batch buckets: every PBS dispatch pads its flattened batch up to
+# one of these, so the WHOLE radix layer compiles O(#buckets) device
+# programs instead of one per (stack, batch, nblocks) shape -- the
+# ERC20 cold compile was 1988 s mostly from shape proliferation through
+# the remote-compile tunnel (VERDICT r4 item 5). Powers of two plus
+# 3*2^k midpoints cap the padding waste at 33%.
+_PBS_BUCKETS = tuple(
+    sorted({1 << k for k in range(4, 17)} | {3 << k for k in range(3, 15)})
+)
+
+
+def _bucket(n: int) -> int:
+    for b in _PBS_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def _pbs_flat(sk: ServerKey, ct: jax.Array, lut: jax.Array) -> jax.Array:
+    """(B, kN+1) x (B, k+1, N) -> (B, kN+1): the one canonical PBS
+    program shape per bucket B."""
     engine = si.engine_for(sk.params)
     small = keyswitch(ct, sk.ksk)
     from tfhe_tpu.core.multibit import (
@@ -191,6 +209,33 @@ def _pbs(sk: ServerKey, ct: jax.Array, lut: jax.Array) -> jax.Array:
     if isinstance(sk.bsk, MultiBitBootstrapKey):
         return multibit_programmable_bootstrap(small, lut, sk.bsk, engine)
     return programmable_bootstrap(small, lut, sk.bsk, engine)
+
+
+def _pbs(sk: ServerKey, ct: jax.Array, lut: jax.Array) -> jax.Array:
+    """Raw batched PBS: ct (..., kN+1), lut broadcastable (..., k+1, N).
+    Dispatches on the key type (classic vs multi-bit), like si.apply_lut.
+
+    The batch dims are FLATTENED and padded to a size bucket before
+    dispatch so every radix op shares the same per-bucket device
+    program (cold-compile count drops from one per op shape to one per
+    bucket; padding rows bootstrap zeros and are sliced away)."""
+    batch = ct.shape[:-1]
+    b = 1
+    for d in batch:
+        b *= d
+    lut_b = jnp.broadcast_to(lut, batch + lut.shape[-2:])
+    flat_ct = ct.reshape(b, ct.shape[-1])
+    flat_lut = lut_b.reshape(b, *lut.shape[-2:])
+    bp = _bucket(b)
+    if bp != b:
+        flat_ct = jnp.concatenate(
+            [flat_ct, jnp.zeros((bp - b, flat_ct.shape[-1]), dtype=flat_ct.dtype)]
+        )
+        flat_lut = jnp.concatenate(
+            [flat_lut, jnp.zeros((bp - b,) + flat_lut.shape[1:], dtype=flat_lut.dtype)]
+        )
+    out = _pbs_flat(sk, flat_ct, flat_lut)
+    return out[:b].reshape(batch + (out.shape[-1],))
 
 
 def _lut(params: ShortintParams, table) -> jax.Array:
@@ -310,6 +355,42 @@ def sub(sk: ServerKey, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertex
     return propagate_carries(
         sk, RadixCiphertext(blocks=s, params=p, degrees=tuple(degs))
     )
+
+
+def add_sub(
+    sk: ServerKey, a: RadixCiphertext, b: RadixCiphertext
+) -> tuple[RadixCiphertext, RadixCiphertext]:
+    """(a + b, a - b) sharing ONE stacked carry chain.
+
+    The ERC20 transfer's hot pair (balance +/- moved): stacking the two
+    pre-carry block tensors doubles the per-round PBS batch and halves
+    the dispatch count vs calling add() then sub() (reference flow
+    erc20.ts:20-76 runs them back to back)."""
+    assert a.nblocks == b.nblocks
+    p = sk.params
+    m = p.message_modulus
+    a = _fresh(sk, a)
+    b = _fresh(sk, b)
+    notb_blocks = (-b.blocks).at[..., -1].add(
+        encode(jnp.asarray(m - 1, dtype=U64), p.delta)
+    )
+    s_add = a.blocks + b.blocks
+    s_sub = a.blocks + notb_blocks
+    one = encode(jnp.asarray(1, dtype=U64), p.delta)
+    s_sub = s_sub.at[..., 0, -1].add(one)
+    stacked = jnp.stack([s_add, s_sub], axis=0)
+    degs = tuple(
+        max(
+            a.degrees[i] + b.degrees[i],
+            a.degrees[i] + (m - 1) + (1 if i == 0 else 0),
+        )
+        for i in range(a.nblocks)
+    )
+    out = propagate_carries(
+        sk, RadixCiphertext(blocks=stacked, params=p, degrees=degs)
+    )
+    mk = lambda blk: RadixCiphertext(blocks=blk, params=p, degrees=out.degrees)
+    return mk(out.blocks[0]), mk(out.blocks[1])
 
 
 def neg(sk: ServerKey, a: RadixCiphertext) -> RadixCiphertext:
@@ -578,6 +659,18 @@ def select(
     b = _fresh(sk, b)
     nb = a.nblocks
     cond_b = jnp.broadcast_to(cond.ct[..., None, :], a.blocks.shape)
+    if all(d == 0 for d in b.degrees):
+        # select vs a trivial zero (the ERC20 `moved` gate): one
+        # bivariate PBS per block instead of two + add
+        packed = cond_b * U64(m) + a.blocks
+        ta = _lut_table(p, lambda v: (v % m) if (v // m) == 1 else 0)
+        out = _pbs(sk, packed, _lut(p, ta))
+        return RadixCiphertext(blocks=out, params=p, degrees=(m - 1,) * nb)
+    if all(d == 0 for d in a.degrees):
+        packed = cond_b * U64(m) + b.blocks
+        tb = _lut_table(p, lambda v: (v % m) if (v // m) == 0 else 0)
+        out = _pbs(sk, packed, _lut(p, tb))
+        return RadixCiphertext(blocks=out, params=p, degrees=(m - 1,) * nb)
     packed_a = cond_b * U64(m) + a.blocks
     packed_b = cond_b * U64(m) + b.blocks
     ta = _lut_table(p, lambda v: (v % m) if (v // m) == 1 else 0)

@@ -26,10 +26,17 @@ from tfhe_tpu.params import (
 
 Q = 2.0**Q_BITS
 
-# the folded CRT engine's modulus product (ops/folded_ntt.FOLDED_PRIMES):
-# noise terms that depend on the PKSK's modulus-switched storage need the
-# same max-product-bits computation as the engine
-_CRT_PROD = 469762049 * 754974721 * 998244353
+def _crt_prod() -> int:
+    """The folded CRT engine's modulus product (process default prime
+    set -- ops/folded_ntt.DEFAULT_PRIMES): noise terms that depend on
+    the PKSK's modulus-switched storage need the same max-product-bits
+    computation as the engine actually running."""
+    from tfhe_tpu.ops.folded_ntt import default_primes
+
+    prod = 1
+    for p in default_primes():
+        prod *= p
+    return prod
 
 
 def keyswitch_variance(
@@ -167,7 +174,7 @@ def matmul_output_variance(
     # sums across n_in*level rows (worst case t = N)
     b, lvl = params.packing_ks.base_log, params.packing_ks.level
     n_in = k * n_poly
-    maxpb = math.floor(math.log2(_CRT_PROD / 2) - math.log2(n_poly))
+    maxpb = math.floor(math.log2(_crt_prod() / 2) - math.log2(n_poly))
     msb = min(55, maxpb - (b - 1) - math.ceil(math.log2(n_in * lvl)))
     shift = 64 - msb
     e_d2 = (2.0 ** (2 * b - 2)) / 3.0  # E[digit^2], balanced digits
