@@ -29,8 +29,16 @@ def main():
     from tfhe_tpu import params as tp
     from tfhe_tpu.api.instance import FhevmInstance
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    inst = FhevmInstance(tp.TOY_SHORTINT, seed=3)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    prod = "--prod" in sys.argv
+    n = int(args[0]) if args else 20
+    # --prod: the full production parameter set (N=2048 compute params +
+    # V1 PKE params with the v2 ZK proof) -- the configuration VERDICT
+    # r4 Missing #5 asked to measure (the round-4 6.3 MB proof made this
+    # flow pathological; the 213 KB v2 proof is the fix under test)
+    P = (tp.PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128
+         if prod else tp.TOY_SHORTINT)
+    inst = FhevmInstance(P, seed=3)
     C, U = "0x" + "11" * 20, "0x" + "22" * 20
 
     # warm every program
@@ -75,12 +83,13 @@ def main():
         "metric": "serving_create_input_per_s",
         "value": out["create_input"]["per_s"],
         "unit": "inputs/s",
-        "detail": {**out, "params": "TOY_SHORTINT",
+        "detail": {**out, "params": P.name,
                    "backend": jax.devices()[0].platform},
     }
     print(json.dumps(rec))
+    name = "BENCH_SERVING_PROD.json" if prod else "BENCH_SERVING.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_SERVING.json"), "w") as f:
+            os.path.abspath(__file__))), name), "w") as f:
         json.dump(rec, f, indent=1)
 
 

@@ -76,7 +76,9 @@ def worker(config: str, pid: int, addr: str, nprocs: int) -> None:
         n_host, n_data = mesh.devices.shape[0], mesh.devices.shape[1]
         g_bsk, g_ksk = replicate_global(mesh, (sk.bsk.bsk_ntt, sk.ksk.ksk))
         lut = replicate_global(mesh, lut_np)
-        per_host = 16 * n_data
+        # large enough that the per-step dispatch floor does not dominate
+        # the efficiency ratio on the CPU loopback backend
+        per_host = 64 * n_data
         vals_global = np.arange(n_host * per_host, dtype=np.uint64) % 4
         lo = pid * per_host if nprocs > 1 else 0
         local = vals_global[lo: lo + per_host] if nprocs > 1 else vals_global

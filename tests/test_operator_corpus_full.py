@@ -248,13 +248,29 @@ def test_huge_default_slice_wide(keys, bits):
     eb = ri.encrypt_radix_bigint(ck, b, bits, FheRng(62))
     got = ri.decrypt_radix_bigint(ck, ri.add(sk, ea, eb))
     assert got == [(x + y) % mod for x, y in zip(a, b)]
-    lt_res = np.asarray(si.decrypt(ck, ri.lt(sk, ea, eb)))
-    assert [int(x) & 1 for x in lt_res] == [int(x < y) for x, y in zip(a, b)]
     got = ri.decrypt_radix_bigint(ck, ri.shl(sk, ea, 5))
     assert got == [(x << 5) % mod for x in a]
     if bits == 128:
-        got = ri.decrypt_radix_bigint(ck, ri.mul(sk, ea, eb))
-        assert got == [(x * y) % mod for x, y in zip(a, b)]
+        # cmp at 128 only: the 256-block tree is slow-tier budget
+        # (test_enc_enc_huge covers 256-bit eq there); mul >= 128 bits
+        # is slow-tier too (quadratic block products)
+        lt_res = np.asarray(si.decrypt(ck, ri.lt(sk, ea, eb)))
+        assert [int(x) & 1 for x in lt_res] == [
+            int(x < y) for x, y in zip(a, b)
+        ]
+
+
+@pytest.mark.slow
+def test_mul_128_slow(keys):
+    """128-bit mul (quadratic block products: slow-tier budget)."""
+    ck, sk = keys
+    rng = np.random.default_rng(99)
+    a = [int.from_bytes(rng.bytes(16), "big")]
+    b = [int.from_bytes(rng.bytes(16), "big")]
+    ea = ri.encrypt_radix_bigint(ck, a, 128, FheRng(71))
+    eb = ri.encrypt_radix_bigint(ck, b, 128, FheRng(72))
+    got = ri.decrypt_radix_bigint(ck, ri.mul(sk, ea, eb))
+    assert got == [(a[0] * b[0]) % (1 << 128)]
 
 
 @pytest.mark.slow

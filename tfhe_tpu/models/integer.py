@@ -185,7 +185,7 @@ def trivial_radix(params: ShortintParams, values, nbits: int) -> RadixCiphertext
 # the remote-compile tunnel (VERDICT r4 item 5). Powers of two plus
 # 3*2^k midpoints cap the padding waste at 33%.
 _PBS_BUCKETS = tuple(
-    sorted({1 << k for k in range(4, 17)} | {3 << k for k in range(3, 15)})
+    sorted({1 << k for k in range(2, 17)} | {3 << k for k in range(2, 15)})
 )
 
 
