@@ -168,11 +168,28 @@ def trivial_radix(params: ShortintParams, values, nbits: int) -> RadixCiphertext
     p = params
     nb = blocks_for_bits(p, nbits)
     bpb = _bits_per_block(p)
+    # True per-block degrees when the values are concrete (not traced):
+    # a trivial ZERO then has degree 0, which lets select() take its
+    # one-PBS-per-block fast path (the ERC20 `moved` gate saves 32
+    # PBS/transfer on this alone). Under a tracer fall back to m-1.
+    degrees = None
+    if not isinstance(values, jax.core.Tracer):
+        try:
+            vals_np = np.asarray(values, dtype=np.uint64).reshape(-1)
+            mask = np.uint64(p.message_modulus - 1)
+            degrees = tuple(
+                int(((vals_np >> np.uint64(bpb * i)) & mask).max())
+                for i in range(nb)
+            )
+        except Exception:
+            degrees = None
+    if degrees is None:
+        degrees = (p.message_modulus - 1,) * nb
     values = jnp.asarray(values, dtype=U64)
     shifts = jnp.arange(nb, dtype=U64) * U64(bpb)
     blocks_pt = (values[..., None] >> shifts) & U64(p.message_modulus - 1)
     ct = trivial_lwe(encode(blocks_pt, p.delta), p.big_lwe_dimension)
-    return RadixCiphertext(blocks=ct, params=p, degrees=(p.message_modulus - 1,) * nb)
+    return RadixCiphertext(blocks=ct, params=p, degrees=degrees)
 
 
 # -- PBS plumbing ----------------------------------------------------------------
