@@ -61,3 +61,32 @@ def test_result_under_post_compression_key_only(pkey):
     bad = np.asarray(gm.decrypt_matrix(res, wrong))
     good = np.asarray(gm.decrypt_matrix(res, pkey))
     assert not np.array_equal(bad, good)
+
+
+def test_prepared_weights_jit_path_matches_legacy(pkey):
+    """PreparedClearMatrix enters jit as an argument and must produce
+    exactly the same ciphertexts as the eager concrete-weight path."""
+    import jax
+
+    rs = np.random.RandomState(5)
+    r, c, o = 2, 16, 3
+    x = rs.randint(0, 16, size=(r, c)).astype(np.uint64)
+    w = rs.randint(-8, 8, size=(c, o)).astype(np.int64)
+    enc = gm.encrypt_matrix(pkey, jnp.asarray(x), seed=9)
+    res_legacy = gm.matrix_multiplication(enc, jnp.asarray(w), pkey)
+
+    P = pkey.params
+    prep = gm.prepare_clear_weights(P, w)
+    step = jax.jit(
+        lambda e, pw, pk: gm.matrix_multiplication(
+            gm.EncryptedMatrix(glwes=e, params=P, n_valid=c, shape=(r, c)),
+            pw,
+            pk,
+        )
+    )
+    res_prep = step(enc.glwes, prep, pkey)
+    np.testing.assert_array_equal(
+        np.asarray(res_legacy.data), np.asarray(res_prep.data)
+    )
+    got = np.asarray(gm.decrypt_matrix(res_prep, pkey))
+    np.testing.assert_array_equal(got, x.astype(np.int64) @ w)

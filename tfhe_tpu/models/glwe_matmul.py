@@ -128,55 +128,95 @@ def encrypt_matrix(
     return EncryptedMatrix(glwes=glwes, params=p, n_valid=c, shape=(r, c))
 
 
-def matrix_multiplication(
-    enc: EncryptedMatrix, clear, pkey: MatmulPrivateKey
-) -> CompressedResultMatrix:
-    """enc (R, C) x clear (C, O) -> compressed encrypted result (R, O).
+@pytree_dataclass(meta=("params", "shape"))
+class PreparedClearMatrix:
+    """Device-resident NTT-domain clear operand with Shoup companions
+    (the reference keeps matrices device-resident across calls,
+    lib_python.rs:243-339). Built once by `prepare_clear_weights`;
+    passing it to `matrix_multiplication` lets the matmul run under an
+    enclosing jit with the weights as an ARGUMENT (not a baked-in
+    constant riding every compile payload)."""
 
-    clear entries are small signed ints (quantized weights).
-    """
-    p = enc.params
-    n = p.polynomial_size
+    f_w: jax.Array  # (O, n_chunks, P, 2, N) u32 Shoup pairs
+    params: MatmulParams
+    shape: tuple  # (C, O)
+
+
+def prepare_clear_weights(
+    params: MatmulParams, clear, n_valid: int | None = None
+) -> PreparedClearMatrix:
+    """Forward-transform a concrete clear weight matrix (C, O) once.
+
+    Validates the CRT reconstruction bound eagerly (needs concrete
+    values -- call outside jit)."""
+    n = params.polynomial_size
     engine = get_engine(n)
     w = np.asarray(clear)
     c, o = w.shape
-    assert c == enc.n_valid
-    r = enc.shape[0]
-    n_chunks = enc.glwes.shape[1]
-    # CRT exactness bound: each output coefficient is a sum over
-    # n_chunks negacyclic convolutions of full-width ciphertext words
-    # (< 2^64) against clear weights; the true integer magnitude must
-    # stay under the engine's reconstruction range or Garner wraps into
-    # garbage decrypts (measured: weights past this bound flip sign at
-    # TOY N=256). max_product_bits already covers the N-fold sum and
-    # sign, leaving maxpb - 64 - log2(n_chunks) bits for the weight.
-    import math
-
+    n_chunks = -(-c // n)
     w_bits = engine.max_product_bits - 64 - max(
         0, math.ceil(math.log2(n_chunks))
     )
     if np.abs(w.astype(np.int64)).max(initial=0) >= (1 << w_bits):
         raise ValueError(
-            f"matrix_multiplication: |clear| entries must be < 2^{w_bits} "
-            "at these parameters (CRT reconstruction range; quantized "
-            "weights are far smaller, fhext_classes.rs:100-114 budgets "
-            "27 bits for the whole input x weight product)"
+            f"prepare_clear_weights: |clear| entries must be < 2^{w_bits} "
+            "at these parameters (CRT reconstruction range)"
         )
-    w = jnp.asarray(w)
-
-    # clear operand: chunk, reverse within chunk so the dot lands on coeff
-    # N-1 of each chunk product (wrap-free by construction)
-    pad = jnp.zeros((n_chunks * n, o), dtype=w.dtype).at[:c, :].set(w)
+    pad = jnp.zeros((n_chunks * n, o), dtype=jnp.int64).at[:c, :].set(
+        jnp.asarray(w, dtype=jnp.int64)
+    )
     w_chunks = pad.reshape(n_chunks, n, o)
     w_rev = w_chunks[:, ::-1, :]  # reverse within chunk
     w_polys = jnp.moveaxis(w_rev, -1, 0)  # (O, n_chunks, N)
+    f_w = engine.make_shoup(engine.forward_small(w_polys))
+    return PreparedClearMatrix(f_w=f_w, params=params, shape=(c, o))
+
+
+def matrix_multiplication(
+    enc: EncryptedMatrix, clear, pkey: MatmulPrivateKey
+) -> CompressedResultMatrix:
+    """enc (R, C) x clear (C, O) -> compressed encrypted result (R, O).
+
+    clear: either a small-signed-int matrix (quantized weights; must be
+    concrete) or a PreparedClearMatrix from `prepare_clear_weights`
+    (jit-argument friendly).
+    """
+    p = enc.params
+    n = p.polynomial_size
+    engine = get_engine(n)
+    if isinstance(clear, PreparedClearMatrix):
+        return _matmul_prepared(enc, clear, pkey, engine)
+    # CRT exactness bound: each output coefficient is a sum over
+    # n_chunks negacyclic convolutions of full-width ciphertext words
+    # (< 2^64) against clear weights; the true integer magnitude must
+    # stay under the engine's reconstruction range or Garner wraps into
+    # garbage decrypts (measured: weights past this bound flip sign at
+    # TOY N=256) -- validated inside prepare_clear_weights (the
+    # reference budgets 27 bits for the whole input x weight product,
+    # fhext_classes.rs:100-114).
+    w = np.asarray(clear)
+    c, o = w.shape
+    assert c == enc.n_valid
+    prep = prepare_clear_weights(p, w)
+    return _matmul_prepared(enc, prep, pkey, engine)
+
+
+def _matmul_prepared(
+    enc: EncryptedMatrix,
+    prep: PreparedClearMatrix,
+    pkey: MatmulPrivateKey,
+    engine,
+) -> CompressedResultMatrix:
+    p = enc.params
+    n = p.polynomial_size
+    c, o = prep.shape
+    assert c == enc.n_valid
+    r = enc.shape[0]
 
     # one-to-many: transform ciphertext once, weights once; the weights
     # are the fixed operand, so they carry the Shoup companions
     f_ct = engine.forward_u64(enc.glwes)  # (R, chunks, k+1, P, N)
-    f_w = engine.make_shoup(
-        engine.forward_small(w_polys.astype(jnp.int64))
-    )  # (O, chunks, P, 2, N)
+    f_w = prep.f_w  # (O, chunks, P, 2, N)
 
     # product GLWE for (r, o): sum over chunks of ct_chunk * w_chunk
     prod = engine.pointwise_shoup(
