@@ -38,7 +38,6 @@ from tfhe_tpu.core.keys import (
     gen_glwe_secret_key,
     glwe_to_lwe_secret_key,
 )
-from tfhe_tpu.core.lwe import sample_extract
 from tfhe_tpu.core.packing import (
     PackingKeyswitchKey,
     gen_packing_keyswitch_key,
@@ -226,11 +225,24 @@ def _matmul_prepared(
     f = engine.reduce_u64_domain(
         jnp.sum(prod.astype(U64), axis=2)
     )  # (R, O, k+1, P, N) u32
-    prod_glwes = engine.backward(f)  # (R, O, k+1, N)
 
     # extract the dot product at coefficient N-1 (reference
-    # computations.rs:109-132 extracts the last coefficient)
-    lwes = sample_extract(prod_glwes, n - 1)  # (R, O, kN+1)
+    # computations.rs:109-132 extracts the last coefficient). Only the
+    # MASK polynomials need the full inverse transform (the packing
+    # keyswitch decomposes every mask coefficient); the body contributes
+    # a single coefficient, computed as one dot against a fixed inverse
+    # row (engine.backward_coeff) -- this halves the dominant
+    # inverse-NTT cost of the whole matmul at k=1.
+    mask_coeffs = engine.backward(f[..., :-1, :, :])  # (R, O, k, N)
+    body_n1 = engine.backward_coeff(f[..., -1, :, :], n - 1)  # (R, O)
+    # sample_extract algebra at index N-1: src = N-1-i never wraps, so
+    # the extracted mask is just each key polynomial reversed (no
+    # negacyclic negation branch)
+    k_dim = mask_coeffs.shape[-2]
+    ext = mask_coeffs[..., ::-1]
+    lwes = jnp.concatenate(
+        [ext.reshape(r, o, k_dim * n), body_n1[..., None]], axis=-1
+    )  # (R, O, kN+1)
 
     # pack rows of O LWEs into ceil(O/N) GLWEs under the post key
     n_out_chunks = -(-o // n)

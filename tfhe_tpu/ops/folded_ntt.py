@@ -717,6 +717,54 @@ class FoldedCrtEngine:
             x = x << U64(shift)
         return x
 
+    def _inv_coeff_row(self, index: int) -> jax.Array:
+        """Shoup pairs (P, 2, N) for the single-coefficient inverse:
+        row t of plane p is M_p[index, t] where M_p is the inverse
+        transform matrix in the engine's folded frequency layout.
+        Computed once per (engine, index) by inverting a basis batch."""
+        cache = getattr(self, "_inv_coeff_rows", None)
+        if cache is None:
+            cache = {}
+            self._inv_coeff_rows = cache
+        row = cache.get(index)
+        if row is None:
+            with jax.ensure_compile_time_eval():
+                eye = jnp.eye(self.n, dtype=U32)  # row t = one-hot e_t
+                rows = []
+                for ntt in self.ntts:
+                    m = ntt.inverse(eye)  # (t, coeff): column t of M_p
+                    rows.append(m[:, index])  # M_p[index, t] over t
+                raw = jnp.stack(rows, axis=0)  # (P, N) canonical [0, p)
+                row = self.make_shoup(raw)  # (P, 2, N)
+            cache[index] = row
+        return row
+
+    def backward_coeff(
+        self, f: jax.Array, index: int, shift: int = 0
+    ) -> jax.Array:
+        """Coefficient `index` of backward(f) WITHOUT the full inverse
+        transform: (..., P, N) u32 (< 2^31 lazy) -> (...,) u64.
+
+        The inverse is linear, so one output coefficient is a dot with a
+        fixed row of the inverse matrix -- O(N) Shoup multiplies instead
+        of the O(N log N)-equivalent stage matmuls. Used by the GLWE
+        matmul's sample extraction, where only the body's last
+        coefficient is needed (reference computations.rs:109-132)."""
+        key = self._inv_coeff_row(index)
+        prod = self.pointwise_shoup(f, key)  # (..., P, N) in [0, 2p)
+        s = jnp.sum(prod.astype(U64), axis=-1)  # < N * 2p < 2^44
+        r = []
+        for i, ntt in enumerate(self.ntts):
+            si = s[..., i]
+            lo = (si & U64(0xFFFFFFFF)).astype(U32)
+            hi = (si >> U64(32)).astype(U32)
+            ri = ntt.ctx.reduce_u64_pair(lo, hi)
+            r.append(_condsub(ri, ntt.ctx.pu))
+        x = self.crt_reconstruct(r)
+        if shift:
+            x = x << U64(shift)
+        return x
+
     # -- convenience -------------------------------------------------------------
 
     def polymul(self, a_small: jax.Array, b_u64: jax.Array) -> jax.Array:
