@@ -3,7 +3,8 @@
 Times keyswitch + multi-bit blind rotation + sample extract at
 PARAM_MULTI_BIT_GROUP_g_MESSAGE_2_CARRY_2_KS_PBS_TUNIFORM_2M128 (the
 tfhe-rs parameter family the reference's GPU coprocessor uses) and
-writes BENCH_MULTIBIT.json next to BENCH artifacts. Decrypt-verified
+writes BENCH_MULTIBIT.json (group 3) or BENCH_MULTIBIT_G<g>.json
+(other groups) next to BENCH artifacts. Decrypt-verified
 like bench.py. Usage: python scripts/bench_multibit.py [group] [batch]
 """
 
@@ -122,7 +123,9 @@ def main():
     }
     print(json.dumps(result))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_MULTIBIT.json"), "w") as fh:
+    art = ("BENCH_MULTIBIT.json" if group == 3
+           else f"BENCH_MULTIBIT_G{group}.json")
+    with open(os.path.join(root, art), "w") as fh:
         json.dump(result, fh, indent=1)
 
 
